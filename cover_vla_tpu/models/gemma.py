@@ -1,0 +1,271 @@
+"""Gemma decoder stack + the pi0 fused dual-transformer forward.
+
+Reimplements the *behaviour* of the reference PaliGemmaWithExpertModel
+(lerobot_custom/.../pi0/paligemma_with_expert.py:236-360) TPU-first:
+
+  * Layer weights are stacked along a leading [depth] axis and the layer
+    loop is a `lax.scan`, so XLA compiles one layer body.
+  * The fused forward computes Q/K/V per model on its own token span,
+    concatenates along the sequence, runs one shared attention, then applies
+    per-model o_proj/MLP — exactly the reference dataflow.
+  * Decode uses a *shared-prefix* KV cache: all N candidates of a batch row
+    attend to one copy of the row's prefix keys/values instead of N
+    replicated copies (the reference replicates the whole prefill B× —
+    run_simpler_eval_with_openpi.py:312-313). Softmax is computed jointly
+    over [prefix | own suffix] scores in fp32.
+
+Numerics: weights bf16, RMSNorm/softmax/RoPE in fp32, logits via fp32
+accumulation on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cover_vla_tpu.configs import GemmaConfig
+from cover_vla_tpu.ops.norms import rms_norm
+from cover_vla_tpu.ops.rope import apply_rope
+from cover_vla_tpu.ops.attention import BIG_NEG, HIGHEST
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_gemma(key: jax.Array, cfg: GemmaConfig, *,
+               param_dtype=jnp.bfloat16) -> Params:
+    """Initialise a Gemma decoder stack with [depth]-stacked layer weights."""
+    keys = jax.random.split(key, 10)
+    d, w, m = cfg.depth, cfg.width, cfg.mlp_dim
+    qd = cfg.num_heads * cfg.head_dim
+    kvd = cfg.num_kv_heads * cfg.head_dim
+
+    def norm(k, *shape):
+        return (jax.random.normal(k, shape, dtype=jnp.float32) * 0.02
+                ).astype(param_dtype)
+
+    params: Params = {
+        "layers": {
+            "input_ln": jnp.zeros((d, w), dtype=jnp.float32),
+            "q": norm(keys[0], d, w, qd),
+            "k": norm(keys[1], d, w, kvd),
+            "v": norm(keys[2], d, w, kvd),
+            "o": norm(keys[3], d, qd, w),
+            "post_ln": jnp.zeros((d, w), dtype=jnp.float32),
+            "gate": norm(keys[4], d, w, m),
+            "up": norm(keys[5], d, w, m),
+            "down": norm(keys[6], d, m, w),
+        },
+        "final_norm": jnp.zeros((w,), dtype=jnp.float32),
+    }
+    if cfg.vocab_size:
+        params["embed"] = norm(keys[7], cfg.vocab_size, w)
+    return params
+
+
+def embed_tokens(params: Params, tokens: jax.Array) -> jax.Array:
+    return jnp.take(params["embed"], tokens, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Layer pieces
+# ---------------------------------------------------------------------------
+
+
+def _qkv(layer: Params, cfg: GemmaConfig, h: jax.Array,
+         positions: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """input RMSNorm -> q/k/v projections -> RoPE. h: [..., S, W]."""
+    x = rms_norm(h, layer["input_ln"], cfg.rms_eps).astype(jnp.bfloat16)
+    shape = x.shape[:-1]
+    q = (x @ layer["q"]).reshape(*shape, cfg.num_heads, cfg.head_dim)
+    k = (x @ layer["k"]).reshape(*shape, cfg.num_kv_heads, cfg.head_dim)
+    v = (x @ layer["v"]).reshape(*shape, cfg.num_kv_heads, cfg.head_dim)
+    q = apply_rope(q.reshape(-1, *q.shape[-3:]),
+                   positions.reshape(-1, positions.shape[-1]),
+                   cfg.rope_theta).reshape(q.shape)
+    k = apply_rope(k.reshape(-1, *k.shape[-3:]),
+                   positions.reshape(-1, positions.shape[-1]),
+                   cfg.rope_theta).reshape(k.shape)
+    return q, k, v
+
+
+def _post_attention(layer: Params, cfg: GemmaConfig, h: jax.Array,
+                    attn_out: jax.Array) -> jax.Array:
+    """o_proj + residual + post-LN + GeGLU MLP + residual."""
+    out = attn_out.astype(jnp.bfloat16) @ layer["o"]
+    h = h + out
+    y = rms_norm(h, layer["post_ln"], cfg.rms_eps).astype(jnp.bfloat16)
+    gated = jax.nn.gelu(y @ layer["gate"], approximate=True) * (y @ layer["up"])
+    return h + gated @ layer["down"]
+
+
+def _take_layer(layers: Params, i_or_slice) -> Params:
+    return jax.tree_util.tree_map(lambda x: x[i_or_slice], layers)
+
+
+# ---------------------------------------------------------------------------
+# Fused training forward (both spans, no cache)
+# ---------------------------------------------------------------------------
+
+
+def fused_forward(pg_params: Params, ex_params: Params,
+                  pg_cfg: GemmaConfig, ex_cfg: GemmaConfig,
+                  prefix_emb: jax.Array, suffix_emb: jax.Array,
+                  positions: jax.Array, mask: jax.Array,
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """Run the fused dual-transformer on [prefix | suffix].
+
+    Args:
+      prefix_emb: [B, P, W_pg] (PaliGemma span)
+      suffix_emb: [B, S, W_ex] (expert span)
+      positions: [B, P + S] RoPE positions for the concatenated sequence.
+      mask: bool[B, P + S, P + S] attention mask (True = attend).
+    Returns:
+      (prefix_out, suffix_out) after each model's final RMSNorm.
+    """
+    p_len = prefix_emb.shape[1]
+    pos_p, pos_s = positions[:, :p_len], positions[:, p_len:]
+
+    def body(carry, layer_pair):
+        h_p, h_s = carry
+        lp, ls = layer_pair
+        qp, kp, vp = _qkv(lp, pg_cfg, h_p, pos_p)
+        qs, ks, vs = _qkv(ls, ex_cfg, h_s, pos_s)
+        q = jnp.concatenate([qp, qs], axis=1)
+        k = jnp.concatenate([kp, ks], axis=1)
+        v = jnp.concatenate([vp, vs], axis=1)
+        attn = _masked_gqa(q, k, v, mask)
+        h_p = _post_attention(lp, pg_cfg, h_p, attn[:, :p_len])
+        h_s = _post_attention(ls, ex_cfg, h_s, attn[:, p_len:])
+        return (h_p, h_s), None
+
+    (h_p, h_s), _ = jax.lax.scan(
+        body, (prefix_emb.astype(jnp.bfloat16), suffix_emb.astype(jnp.bfloat16)),
+        (pg_params["layers"], ex_params["layers"]))
+    h_p = rms_norm(h_p, pg_params["final_norm"], pg_cfg.rms_eps)
+    h_s = rms_norm(h_s, ex_params["final_norm"], ex_cfg.rms_eps)
+    return h_p, h_s
+
+
+def _masked_gqa(q: jax.Array, k: jax.Array, v: jax.Array,
+                mask: jax.Array) -> jax.Array:
+    """GQA attention, fp32 softmax. q:[B,Sq,Hq,D] k/v:[B,Skv,Hkv,D]."""
+    b, sq, hq, dim = q.shape
+    hkv = k.shape[2]
+    g = hq // hkv
+    q32 = q.astype(jnp.float32).reshape(b, sq, hkv, g, dim)
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", q32, k.astype(jnp.float32),
+                        precision=HIGHEST)
+    scores = scores * (dim ** -0.5)
+    scores = jnp.where(mask[:, None, None, :, :], scores, BIG_NEG)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    return out.reshape(b, sq, hq * dim)
+
+
+# ---------------------------------------------------------------------------
+# Prefill (PaliGemma span only) -> KV cache
+# ---------------------------------------------------------------------------
+
+
+def prefill(pg_params: Params, cfg: GemmaConfig, prefix_emb: jax.Array,
+            positions: jax.Array, mask: jax.Array,
+            return_hidden: bool = False):
+    """Run the LM on the prefix, emitting per-layer K/V.
+
+    Returns (hidden_or_None, cache) with cache = {"k": [L,B,P,Hkv,D],
+    "v": [L,B,P,Hkv,D]} kept in bf16 (HBM-resident across the Euler loop).
+    """
+
+    def body(h, layer):
+        q, k, v = _qkv(layer, cfg, h, positions)
+        attn = _masked_gqa(q, k, v, mask)
+        h = _post_attention(layer, cfg, h, attn)
+        return h, {"k": k.astype(jnp.bfloat16), "v": v.astype(jnp.bfloat16)}
+
+    h, cache = jax.lax.scan(body, prefix_emb.astype(jnp.bfloat16),
+                            pg_params["layers"])
+    if return_hidden:
+        return rms_norm(h, pg_params["final_norm"], cfg.rms_eps), cache
+    return None, cache
+
+
+# ---------------------------------------------------------------------------
+# Shared-prefix decode (expert span only, N candidates per cached row)
+# ---------------------------------------------------------------------------
+
+
+def decode_shared_prefix(ex_params: Params, cfg: GemmaConfig,
+                         suffix_emb: jax.Array, positions: jax.Array,
+                         cache: Params, prefix_pad: jax.Array,
+                         suffix_mask: jax.Array) -> jax.Array:
+    """Expert forward over N candidates sharing one prefix KV cache per row.
+
+    Args:
+      suffix_emb: [B, N, S, W] expert token embeddings (N candidates).
+      positions: [B, S] RoPE positions of suffix tokens (same for all N).
+      cache: {"k","v"}: [L, B, P, Hkv, D] from `prefill`.
+      prefix_pad: bool[B, P] — valid prefix tokens.
+      suffix_mask: bool[B, S, S] — intra-candidate attention mask.
+    Returns:
+      [B, N, S, W] expert hidden states after final RMSNorm.
+    """
+    b, n, s, w = suffix_emb.shape
+    pos = jnp.broadcast_to(positions[:, None, :], (b, n, s))
+
+    def body(h, xs):
+        layer, kc, vc = xs
+        q, k, v = _qkv(layer, cfg, h, pos)  # q: [B,N,S,Hq,D]; k/v: [B,N,S,Hkv,D]
+        attn = _shared_prefix_gqa(q, k, v, kc, vc, prefix_pad, suffix_mask)
+        h = _post_attention(layer, cfg, h, attn)
+        return h, None
+
+    h, _ = jax.lax.scan(body, suffix_emb.astype(jnp.bfloat16),
+                        (ex_params["layers"], cache["k"], cache["v"]))
+    return rms_norm(h, ex_params["final_norm"], cfg.rms_eps)
+
+
+def _shared_prefix_gqa(q: jax.Array, k_suf: jax.Array, v_suf: jax.Array,
+                       k_pre: jax.Array, v_pre: jax.Array,
+                       prefix_pad: jax.Array,
+                       suffix_mask: jax.Array) -> jax.Array:
+    """Attention of candidate suffix queries over [shared prefix | own suffix].
+
+    q: [B, N, S, Hq, D]; k_suf/v_suf: [B, N, S, Hkv, D];
+    k_pre/v_pre: [B, P, Hkv, D]; prefix_pad: bool[B, P];
+    suffix_mask: bool[B, S, S].
+
+    The joint softmax over prefix+suffix scores is computed in fp32; the
+    prefix keys are NOT replicated across candidates — the contraction
+    broadcasts them, which XLA maps to one MXU pass per row.
+    """
+    b, n, s, hq, d = q.shape
+    hkv = k_suf.shape[3]
+    g = hq // hkv
+    q32 = q.astype(jnp.float32).reshape(b, n, s, hkv, g, d) * (d ** -0.5)
+
+    # [B, N, Hkv, G, S, P]
+    scores_pre = jnp.einsum("bnshgd,bphd->bnhgsp", q32,
+                            k_pre.astype(jnp.float32), precision=HIGHEST)
+    scores_pre = jnp.where(prefix_pad[:, None, None, None, None, :],
+                           scores_pre, BIG_NEG)
+    # [B, N, Hkv, G, S, S]
+    scores_suf = jnp.einsum("bnshgd,bnthd->bnhgst", q32,
+                            k_suf.astype(jnp.float32), precision=HIGHEST)
+    scores_suf = jnp.where(suffix_mask[:, None, None, None, :, :],
+                           scores_suf, BIG_NEG)
+
+    joint = jnp.concatenate([scores_pre, scores_suf], axis=-1)
+    probs = jax.nn.softmax(joint, axis=-1)
+    p_pre = probs[..., : scores_pre.shape[-1]].astype(v_pre.dtype)
+    p_suf = probs[..., scores_pre.shape[-1]:].astype(v_suf.dtype)
+
+    out = jnp.einsum("bnhgsp,bphd->bnshgd", p_pre, v_pre)
+    out = out + jnp.einsum("bnhgst,bnthd->bnshgd", p_suf, v_suf)
+    return out.reshape(b, n, s, hq * d)

@@ -1,0 +1,70 @@
+"""Attention ops: GQA with fp32 softmax, mask-driven (prefix-LM / block masks).
+
+This replaces the reference's eager torch attention
+(paligemma_with_expert.py:376-434): queries/keys upcast to fp32, scores
+scaled by head_dim**-0.5, masked with a large negative constant
+(big_neg from gemma/modules.py), softmax in fp32, probs cast back to the
+value dtype for the PV matmul so the MXU runs in bf16.
+
+Shapes use [B, S, H, D] ("BSHD") throughout; KV heads are broadcast to query
+groups via einsum rather than materialised repeats.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+BIG_NEG = -2.3819763e38  # matches gemma/modules.py masking constant
+HIGHEST = jax.lax.Precision.HIGHEST  # true-fp32 MXU passes for upcast score math
+
+
+def gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                  mask: jax.Array) -> jax.Array:
+    """Grouped-query attention.
+
+    Args:
+      q: [B, Sq, Hq, D]
+      k: [B, Skv, Hkv, D]  (Hq % Hkv == 0)
+      v: [B, Skv, Hkv, D]
+      mask: bool[B, Sq, Skv] — True where attention is allowed.
+    Returns:
+      [B, Sq, Hq * D] attention output in v.dtype.
+    """
+    b, sq, hq, d = q.shape
+    hkv = k.shape[2]
+    groups = hq // hkv
+
+    q32 = q.astype(jnp.float32).reshape(b, sq, hkv, groups, d)
+    k32 = k.astype(jnp.float32)
+    # scores: [B, Hkv, G, Sq, Skv]
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", q32, k32,
+                        precision=HIGHEST) * (d ** -0.5)
+    scores = jnp.where(mask[:, None, None, :, :], scores, BIG_NEG)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    return out.reshape(b, sq, hq * d)
+
+
+def mha_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                  mask: jax.Array | None = None,
+                  bias: jax.Array | None = None) -> jax.Array:
+    """Standard multi-head attention (used by ViT towers / verifier heads).
+
+    Args:
+      q: [B, Sq, H, D]; k, v: [B, Skv, H, D]
+      mask: optional bool[B, Sq, Skv] (True = attend).
+      bias: optional float[B, Sq, Skv] added to the scores.
+    Returns: [B, Sq, H * D].
+    """
+    b, sq, h, d = q.shape
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32),
+                        precision=HIGHEST) * (d ** -0.5)
+    if bias is not None:
+        scores = scores + bias[:, None, :, :].astype(jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask[:, None, :, :], scores, BIG_NEG)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    return out.reshape(b, sq, h * d)
