@@ -1,0 +1,101 @@
+"""Tokenizer abstraction for the policy (PaliGemma) and verifier (SigLIP2).
+
+Production uses HuggingFace tokenizers ("google/paligemma-3b-pt-224" for
+the policy — modeling_pi0.py:250, and the SigLIP2 gemma tokenizer for the
+verifier — finetune...py:617). In air-gapped environments where tokenizer
+files are unavailable, `HashTokenizer` provides a deterministic stand-in
+with the same interface so the full pipeline remains runnable end-to-end
+(bench, tests, fake-env episodes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Protocol, Sequence, Tuple
+
+import numpy as np
+
+
+class Tokenizer(Protocol):
+    def encode_batch(self, texts: Sequence[str], max_length: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (tokens int32[B, max_length], mask bool[B, max_length])."""
+        ...
+
+
+class HashTokenizer:
+    """Deterministic word-hash tokenizer (fallback; not a real vocabulary).
+
+    Right-pads like the PaliGemma path (padding='max_length',
+    padding_side='right') and appends a newline-terminator token the way
+    pi0 appends '\\n' to every prompt (modeling_pi0.py:396).
+    """
+
+    def __init__(self, vocab_size: int, pad_id: int = 0, bos_id: int = 2,
+                 add_bos: bool = True):
+        self.vocab_size = vocab_size
+        self.pad_id = pad_id
+        self.bos_id = bos_id
+        self.add_bos = add_bos
+
+    def _word_id(self, word: str) -> int:
+        h = hashlib.md5(word.encode()).digest()
+        return 3 + int.from_bytes(h[:4], "little") % (self.vocab_size - 3)
+
+    def encode(self, text: str, max_length: int) -> List[int]:
+        ids = [self.bos_id] if self.add_bos else []
+        for w in text.strip().lower().split():
+            ids.append(self._word_id(w))
+        ids.append(self._word_id("\n"))
+        return ids[:max_length]
+
+    def encode_batch(self, texts: Sequence[str], max_length: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        tokens = np.full((len(texts), max_length), self.pad_id, np.int32)
+        mask = np.zeros((len(texts), max_length), bool)
+        for i, t in enumerate(texts):
+            ids = self.encode(t, max_length)
+            tokens[i, :len(ids)] = ids
+            mask[i, :len(ids)] = True
+        return tokens, mask
+
+
+class HFTokenizer:
+    """HuggingFace-backed tokenizer (requires local tokenizer files)."""
+
+    def __init__(self, name_or_path: str, append_newline: bool = True):
+        from transformers import AutoTokenizer
+        # local_files_only: fail fast in air-gapped environments instead of
+        # burning ~1 min in network retries before the Hash fallback kicks in
+        self.tok = AutoTokenizer.from_pretrained(name_or_path,
+                                                 local_files_only=True)
+        self.append_newline = append_newline
+
+    def encode_batch(self, texts: Sequence[str], max_length: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.append_newline:
+            texts = [t if t.endswith("\n") else f"{t}\n" for t in texts]
+        out = self.tok(list(texts), padding="max_length", padding_side="right",
+                       max_length=max_length, truncation=True,
+                       return_tensors="np")
+        return (out["input_ids"].astype(np.int32),
+                out["attention_mask"].astype(bool))
+
+
+def make_policy_tokenizer(vocab_size: int,
+                          hf_path: str = "google/paligemma-3b-pt-224"
+                          ) -> Tokenizer:
+    try:
+        return HFTokenizer(hf_path)
+    except Exception:
+        return HashTokenizer(vocab_size)
+
+
+def make_verifier_tokenizer(vocab_size: int, hf_path: str | None = None
+                            ) -> Tokenizer:
+    if hf_path:
+        try:
+            return HFTokenizer(hf_path, append_newline=False)
+        except Exception:
+            pass
+    return HashTokenizer(vocab_size, add_bos=False)

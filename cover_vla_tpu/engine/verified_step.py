@@ -1,0 +1,183 @@
+"""The fused CoVer verified-control step — one jitted on-device program.
+
+This is the TPU-native replacement for the reference's host-orchestrated
+hot loop (run_simpler_eval_with_openpi.py:259-440 + eval_utils.py:172-221 +
+efficient_ensemble_merged.py:309-456), which made 2-3 GPU round trips and
+ran per-candidate numpy loops on the host every control step. Here
+EVERYTHING between raw pixels and the selected execution-format action chunk
+runs inside a single jit:
+
+  1. image preprocessing for the policy (LANCZOS4 -> uint8 -> [-1,1]) and
+     the verifier (bicubic 384 -> mean/std 0.5) as separable-matmul kernels;
+  2. proprio bound-normalisation + zero-pad to 32;
+  3. pi0 sampling: ONE vision-tower pass, K prompt prefills, N candidates
+     per prompt decoding against a shared HBM KV cache over the 10-step
+     Euler scan;
+  4. on-device action decoding to BOTH formats: execution
+     [xyz | axis-angle | gripper ±1] and verifier [xyz | euler | gripper 0/1]
+     (SimplerAdapter.postprocess{,_verifier}, simpler.py:96-166);
+  5. trajectory assembly (<=6 past actions + chunk future, top-padded -5);
+  6. SigLIP2 ensemble scoring of all K*N candidates under the CURRENT
+     instruction (row-0 semantics);
+  7. two-stage selection without host branching: stage 1 accepts candidate
+     0 if its score >= threshold, else stage-2 group-mean language
+     selection + argmax (computed unconditionally, selected with where);
+  8. gripper majority voting within the winning language group.
+
+The host receives only: the winner's execution chunk, its verifier-format
+chunk (for the action-history ring), the winning language index, and the
+score — a few hundred bytes per control step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cover_vla_tpu.configs import Pi0Config, VerifierConfig, CoVerConfig
+from cover_vla_tpu.data.stats import DatasetStatistics
+from cover_vla_tpu.models import pi0, verifier
+from cover_vla_tpu.ops.image import (
+    resize_lanczos4, resize_bicubic_pil, resize_bilinear_torch)
+from cover_vla_tpu.utils.geometry import euler_to_rotvec
+
+Params = Dict[str, Any]
+
+
+class VerifiedStepResult(NamedTuple):
+    exec_chunk: jax.Array      # [chunk, 7] execution-format winner actions
+    verifier_chunk: jax.Array  # [chunk, 7] verifier-format winner actions
+    winner_idx: jax.Array      # int32 — global candidate index in [0, K*N)
+    winner_group: jax.Array    # int32 — language/prompt index in [0, K)
+    max_score: jax.Array       # fp32 — winning cosine similarity
+    used_stage2: jax.Array     # bool — stage-2 rescore was taken
+    scores: jax.Array          # [K*N] all candidate scores (diagnostics)
+
+
+def _policy_image(raw_u8: jax.Array, size: int) -> jax.Array:
+    """Raw uint8 frame -> policy input, matching the host adapter chain
+    cv2-LANCZOS4-resize(uint8) -> /255 -> (x-.5)/.5 (simpler.py:43-65)."""
+    x = resize_lanczos4(raw_u8.astype(jnp.float32)[None], size, size)[0]
+    x = jnp.clip(jnp.round(x), 0, 255)       # cv2 returns uint8: round+clip
+    return (x / 255.0 - 0.5) / 0.5
+
+
+def _verifier_image(raw_u8: jax.Array, size: int) -> jax.Array:
+    """Raw uint8 frame -> verifier input: TF-bilinear 256 (if needed) ->
+    open_clip bicubic resize -> mean/std 0.5. The reference additionally
+    JPEG-roundtrips the 256px frame (process_raw_image_to_jpg,
+    eval_utils.py:228-286); compression artifacts are intentionally not
+    reproduced on-device."""
+    x = raw_u8.astype(jnp.float32)[None]
+    if x.shape[1] != 256 or x.shape[2] != 256:
+        x = resize_bilinear_torch(x, 256, 256)
+    x = resize_bicubic_pil(x, size, size)
+    return ((x / 255.0) - 0.5) / 0.5
+
+
+def make_verified_step(pcfg: Pi0Config, vcfg: VerifierConfig,
+                       ccfg: CoVerConfig, stats: DatasetStatistics):
+    """Build the jitted verified_step(policy_params, verifier_params, key,
+    raw_image, proprio, lang_tokens, lang_masks, verifier_tokens, history,
+    history_len) function."""
+    if ccfg.max_history + pcfg.chunk_size != vcfg.history_length:
+        raise ValueError(
+            f"verifier history_length ({vcfg.history_length}) must equal "
+            f"max_history ({ccfg.max_history}) + chunk_size ({pcfg.chunk_size})")
+
+    a_p01 = jnp.asarray(stats.action.p01, jnp.float32)
+    a_p99 = jnp.asarray(stats.action.p99, jnp.float32)
+    p_p01 = jnp.asarray(stats.proprio.p01, jnp.float32)
+    p_p99 = jnp.asarray(stats.proprio.p99, jnp.float32)
+    K, N = ccfg.n_rephrases, ccfg.n_samples
+
+    def step(policy_params: Params, verifier_params: Params, key: jax.Array,
+             raw_image: jax.Array, proprio: jax.Array,
+             lang_tokens: jax.Array, lang_masks: jax.Array,
+             verifier_tokens: jax.Array, history: jax.Array,
+             history_len: jax.Array) -> VerifiedStepResult:
+        """
+        raw_image: uint8[H, W, 3] env frame.
+        proprio: fp32[7] raw euler-format proprio (host does quat->euler).
+        lang_tokens/masks: [K, T] policy prompts (row 0 = current task).
+        verifier_tokens: int[Tv] current-instruction SigLIP2 tokens.
+        history: fp32[max_history, 7] verifier-format past actions, valid
+          entries occupy the LAST history_len rows.
+        history_len: int32 in [0, max_history].
+        """
+        # 1-2. observation preprocessing ---------------------------------
+        img = _policy_image(raw_image, pcfg.vision.image_size)
+        state_norm = 2 * (proprio - p_p01) / (p_p99 - p_p01 + 1e-8) - 1
+        state_norm = jnp.clip(state_norm, -1, 1)
+        state = jnp.zeros((1, pcfg.max_state_dim), jnp.float32
+                          ).at[0, :7].set(state_norm)
+        state_k = jnp.broadcast_to(state, (K, pcfg.max_state_dim))
+
+        # 3. pi0: shared vision tower, K prefills, N candidates each -----
+        images = img[None, None]                       # [1, 1, H, W, 3]
+        img_masks = jnp.ones((1, pcfg.num_images), dtype=bool)
+        actions = pi0.sample_actions(
+            policy_params, pcfg, key, images, img_masks, lang_tokens,
+            lang_masks, state_k, num_candidates=N, noise_std=ccfg.noise_std)
+        actions = actions.reshape(K * N, pcfg.chunk_size,
+                                  pcfg.max_action_dim)[..., :7]
+
+        # 4. both action formats, on-device ------------------------------
+        body = (actions[..., :6] + 1) / 2 * (a_p99[:6] - a_p01[:6]) + a_p01[:6]
+        grip = actions[..., 6:]
+        exec_grip = 2.0 * (grip > 0.5) - 1.0
+        verif_grip = (grip >= 0.5).astype(jnp.float32)
+        rotvec = euler_to_rotvec(body[..., 3:6])
+        exec_chunks = jnp.concatenate([body[..., :3], rotvec, exec_grip], -1)
+        verif_chunks = jnp.concatenate([body, verif_grip], -1)
+
+        # 5. trajectories: [K*N, max_history + chunk, 7], -5 top padding --
+        hist = jnp.broadcast_to(history[None], (K * N,) + history.shape)
+        traj = jnp.concatenate([hist, verif_chunks], axis=1)
+        row = jnp.arange(vcfg.history_length)[None, :, None]
+        valid = row >= (ccfg.max_history - history_len)
+        traj = jnp.where(valid, traj, vcfg.action_padding_value)
+
+        # 6. verifier scoring under the current instruction --------------
+        vimg = _verifier_image(raw_image, vcfg.vision.image_size)
+        scores = verifier.score_actions(
+            verifier_params, vcfg, vimg, verifier_tokens[None], traj)
+
+        # 7. two-stage selection, branch-free ----------------------------
+        score0 = scores[0]
+        grouped = scores.reshape(K, N)
+        group_means = jnp.mean(grouped, axis=1)
+        best_group = jnp.argmax(group_means)
+        best_in_group = jnp.argmax(grouped[best_group])
+        stage2_idx = best_group * N + best_in_group
+        used_stage2 = score0 < ccfg.rescore_threshold
+        winner = jnp.where(used_stage2, stage2_idx, 0)
+        max_score = jnp.where(used_stage2, scores[stage2_idx], score0)
+
+        exec_chunk = exec_chunks[winner]
+        verifier_chunk = verif_chunks[winner]
+
+        # 8. gripper majority vote within the winning language group -----
+        winner_group = winner // N
+        group_grippers = jax.lax.dynamic_slice_in_dim(
+            exec_chunks[:, 0, 6], winner_group * N, N)
+        close_votes = jnp.sum(group_grippers >= 0)
+        open_votes = N - close_votes
+        voted = jnp.where(
+            close_votes > open_votes, 1.0,
+            jnp.where(open_votes > close_votes, -1.0,
+                      jnp.where(exec_chunk[0, 6] >= 0, 1.0, -1.0)))
+        if ccfg.gripper_vote:
+            exec_chunk = exec_chunk.at[0, 6].set(jnp.sign(voted))
+
+        return VerifiedStepResult(
+            exec_chunk=exec_chunk, verifier_chunk=verifier_chunk,
+            winner_idx=winner.astype(jnp.int32),
+            winner_group=winner_group.astype(jnp.int32),
+            max_score=max_score, used_stage2=used_stage2, scores=scores)
+
+    return jax.jit(step)

@@ -84,15 +84,26 @@ class Prefix(NamedTuple):
 def embed_prefix(params: Params, cfg: Pi0Config, images: jax.Array,
                  img_masks: jax.Array, lang_tokens: jax.Array,
                  lang_masks: jax.Array) -> Prefix:
-    """images: [B, num_images, H, W, 3] in [-1,1]; img_masks: bool[B, num_images];
-    lang_tokens: int[B, T]; lang_masks: bool[B, T]."""
-    b, n_img = images.shape[:2]
-    flat = images.reshape((b * n_img,) + images.shape[2:])
+    """images: [Bi, num_images, H, W, 3] in [-1,1]; img_masks: bool[B, num_images];
+    lang_tokens: int[B, T]; lang_masks: bool[B, T].
+
+    TPU-first prompt sharing: if Bi == 1 and the language batch B > 1 (K
+    rephrased prompts over ONE observation — the CoVer loop), the vision
+    tower runs once and its tokens are broadcast across the prompt rows
+    (the reference replicates the image B times —
+    run_simpler_eval_with_openpi.py:312).
+    """
+    b = lang_tokens.shape[0]
+    bi, n_img = images.shape[:2]
+    flat = images.reshape((bi * n_img,) + images.shape[2:])
     vit_out = siglip.vit_forward(params["vision"], cfg.vision, flat)
     # Net image embedding = multi-modal projector output (see module doc).
     img_emb = _linear(params["mm_proj"],
                       vit_out.tokens.astype(jnp.float32)).astype(jnp.bfloat16)
-    img_emb = img_emb.reshape(b, n_img * cfg.vision.num_patches, -1)
+    img_emb = img_emb.reshape(bi, n_img * cfg.vision.num_patches, -1)
+    if bi == 1 and b > 1:
+        img_emb = jnp.broadcast_to(img_emb, (b,) + img_emb.shape[1:])
+        img_masks = jnp.broadcast_to(img_masks, (b, n_img))
 
     lang_emb = gemma.embed_tokens(params["paligemma"], lang_tokens)
     lang_emb = lang_emb * jnp.asarray(cfg.paligemma.width ** 0.5,

@@ -65,6 +65,43 @@ def _lanczos4_matrix(src: int, dst: int) -> np.ndarray:
     return m.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def _bicubic_matrix(src: int, dst: int) -> np.ndarray:
+    """[dst, src] PIL-style bicubic (Catmull-Rom a=-0.5) matrix.
+
+    Matches PIL/torchvision Resize(BICUBIC): kernel support scales with the
+    downscale factor (antialias); out-of-bounds taps are dropped and the
+    remaining weights renormalised. Used for the verifier's open_clip
+    preprocessing (Resize((384,384), bicubic)).
+    """
+    a = -0.5
+    scale = src / dst
+    support_scale = max(1.0, scale)
+    support = 2.0 * support_scale
+
+    def cubic(x):
+        x = np.abs(x)
+        return np.where(
+            x <= 1.0, (a + 2) * x ** 3 - (a + 3) * x ** 2 + 1,
+            np.where(x < 2.0, a * x ** 3 - 5 * a * x ** 2 + 8 * a * x - 4 * a,
+                     0.0))
+
+    coords = (np.arange(dst, dtype=np.float64) + 0.5) * scale - 0.5
+    m = np.zeros((dst, src), dtype=np.float64)
+    for i, c in enumerate(coords):
+        lo = int(np.floor(c - support)) + 1
+        taps = np.arange(lo, int(np.ceil(c + support)) + 1)
+        w = cubic((c - taps) / support_scale)
+        valid = (taps >= 0) & (taps < src)
+        w = np.where(valid, w, 0.0)
+        s = w.sum()
+        if s > 0:
+            w = w / s
+        for t, wt in zip(taps[valid], w[valid]):
+            m[i, t] += wt
+    return m.astype(np.float32)
+
+
 def _separable_resize(img: jax.Array, h: int, w: int, matrix_fn) -> jax.Array:
     """Apply row/col interpolation matrices. img: [B, H, W, C] float."""
     b, src_h, src_w, c = img.shape
@@ -89,6 +126,11 @@ def resize_bilinear_torch(img: jax.Array, height: int, width: int) -> jax.Array:
 def resize_lanczos4(img: jax.Array, height: int, width: int) -> jax.Array:
     """cv2 INTER_LANCZOS4 resize (no clipping of over/undershoot for floats)."""
     return _separable_resize(img, height, width, _lanczos4_matrix)
+
+
+def resize_bicubic_pil(img: jax.Array, height: int, width: int) -> jax.Array:
+    """PIL/torchvision BICUBIC resize (antialiased on downscale)."""
+    return _separable_resize(img, height, width, _bicubic_matrix)
 
 
 def resize_with_pad(img: jax.Array, height: int, width: int,

@@ -1,0 +1,131 @@
+"""Fused verified_step + CoVerEngine tests (tiny configs, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cover_vla_tpu.configs import (
+    tiny_pi0_config, tiny_verifier_config, CoVerConfig, replace)
+from cover_vla_tpu.data.stats import DatasetStatistics
+from cover_vla_tpu.models import pi0, verifier
+from cover_vla_tpu.engine import make_verified_step, CoVerEngine
+
+PCFG = tiny_pi0_config()
+VCFG = tiny_verifier_config()
+CCFG = CoVerConfig(n_samples=2, n_rephrases=2)
+STATS = DatasetStatistics.from_json()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return (pi0.init_pi0(jax.random.PRNGKey(0), PCFG),
+            verifier.init_verifier(jax.random.PRNGKey(1), VCFG, num_members=2))
+
+
+@pytest.fixture(scope="module")
+def obs():
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 255, (256, 256, 3), dtype=np.uint8)
+    proprio = rng.uniform(-0.1, 0.1, 7).astype(np.float32)
+    k, t = CCFG.n_rephrases, PCFG.tokenizer_max_length
+    lang_tokens = rng.integers(0, PCFG.paligemma.vocab_size, (k, t)).astype(np.int32)
+    lang_masks = np.ones((k, t), bool)
+    vtoks = rng.integers(0, VCFG.text.vocab_size,
+                         VCFG.text.context_length).astype(np.int32)
+    history = np.zeros((CCFG.max_history, 7), np.float32)
+    return raw, proprio, lang_tokens, lang_masks, vtoks, history
+
+
+def test_verified_step_shapes_and_formats(params, obs):
+    pp, vp = params
+    raw, proprio, lt, lm, vt, hist = obs
+    step = make_verified_step(PCFG, VCFG, CCFG, STATS)
+    res = step(pp, vp, jax.random.PRNGKey(0), raw, proprio, lt, lm, vt,
+               hist, np.int32(0))
+    assert res.exec_chunk.shape == (PCFG.chunk_size, 7)
+    assert res.verifier_chunk.shape == (PCFG.chunk_size, 7)
+    assert res.scores.shape == (CCFG.batch_size,)
+    ex, ve = np.asarray(res.exec_chunk), np.asarray(res.verifier_chunk)
+    assert np.isfinite(ex).all() and np.isfinite(ve).all()
+    # gripper formats: execution ±1, verifier {0,1}
+    assert set(np.unique(ex[:, 6])) <= {-1.0, 1.0}
+    assert set(np.unique(ve[:, 6])) <= {0.0, 1.0}
+    # xyz identical in both formats
+    np.testing.assert_allclose(ex[:, :3], ve[:, :3], atol=1e-6)
+    assert 0 <= int(res.winner_idx) < CCFG.batch_size
+    assert int(res.winner_group) == int(res.winner_idx) // CCFG.n_samples
+
+
+def test_verified_step_determinism(params, obs):
+    pp, vp = params
+    raw, proprio, lt, lm, vt, hist = obs
+    step = make_verified_step(PCFG, VCFG, CCFG, STATS)
+    r1 = step(pp, vp, jax.random.PRNGKey(5), raw, proprio, lt, lm, vt,
+              hist, np.int32(0))
+    r2 = step(pp, vp, jax.random.PRNGKey(5), raw, proprio, lt, lm, vt,
+              hist, np.int32(0))
+    np.testing.assert_array_equal(np.asarray(r1.exec_chunk),
+                                  np.asarray(r2.exec_chunk))
+    np.testing.assert_array_equal(np.asarray(r1.scores), np.asarray(r2.scores))
+
+
+def test_two_stage_selection_semantics(params, obs):
+    """threshold -inf => always stage-1 (winner 0); +inf => always stage-2
+    (group-mean + argmax-in-group)."""
+    pp, vp = params
+    raw, proprio, lt, lm, vt, hist = obs
+    key = jax.random.PRNGKey(7)
+
+    s1 = make_verified_step(PCFG, VCFG, replace(CCFG, rescore_threshold=-1e9),
+                            STATS)(pp, vp, key, raw, proprio, lt, lm, vt,
+                                   hist, np.int32(0))
+    assert int(s1.winner_idx) == 0 and not bool(s1.used_stage2)
+
+    s2 = make_verified_step(PCFG, VCFG, replace(CCFG, rescore_threshold=1e9),
+                            STATS)(pp, vp, key, raw, proprio, lt, lm, vt,
+                                   hist, np.int32(0))
+    assert bool(s2.used_stage2)
+    scores = np.asarray(s2.scores).reshape(CCFG.n_rephrases, CCFG.n_samples)
+    g = scores.mean(axis=1).argmax()
+    expected = g * CCFG.n_samples + scores[g].argmax()
+    assert int(s2.winner_idx) == expected
+    np.testing.assert_allclose(float(s2.max_score), scores.ravel()[expected],
+                               rtol=1e-5)
+
+
+def test_history_padding_changes_scores_only_via_valid_rows(params, obs):
+    """With history_len=0, the history buffer contents must not matter."""
+    pp, vp = params
+    raw, proprio, lt, lm, vt, _ = obs
+    step = make_verified_step(PCFG, VCFG, CCFG, STATS)
+    key = jax.random.PRNGKey(9)
+    h0 = np.zeros((CCFG.max_history, 7), np.float32)
+    h1 = np.full((CCFG.max_history, 7), 3.14, np.float32)
+    r0 = step(pp, vp, key, raw, proprio, lt, lm, vt, h0, np.int32(0))
+    r1 = step(pp, vp, key, raw, proprio, lt, lm, vt, h1, np.int32(0))
+    np.testing.assert_allclose(np.asarray(r0.scores), np.asarray(r1.scores),
+                               atol=1e-5)
+    # ...but with history_len=2 it must matter
+    r2 = step(pp, vp, key, raw, proprio, lt, lm, vt, h1, np.int32(2))
+    assert np.abs(np.asarray(r0.scores) - np.asarray(r2.scores)).max() > 1e-6
+
+
+def test_cover_engine_episode(params, obs):
+    pp, vp = params
+    raw, proprio, *_ = obs
+    engine = CoVerEngine(
+        pp, vp, PCFG, VCFG, CCFG, stats=STATS,
+        rephrases={"put the spoon on the towel": ["place spoon on towel"]},
+        seed=0)
+    engine.reset("put the spoon on the towel")
+    actions = [engine.step(raw, proprio) for _ in range(2 * PCFG.chunk_size)]
+    assert all(a.shape == (7,) for a in actions)
+    # device was invoked twice (ticks 0 and chunk_size)
+    assert len(engine.records) == 2
+    assert engine._history_len == 2 * PCFG.chunk_size - \
+        max(0, 2 * PCFG.chunk_size - CCFG.max_history) or \
+        engine._history_len == min(2 * PCFG.chunk_size, CCFG.max_history)
+    # instruction is one of the prompts
+    assert engine.task in ("put the spoon on the towel",
+                           "place spoon on towel")
