@@ -1,0 +1,131 @@
+"""Scripted fake environment for CI / benchmarking without SAPIEN.
+
+Implements the gym-style surface the evaluator consumes
+(reset/step/render + get_language_instruction + episode_stats), with
+deterministic kinematics: a point end-effector integrates the xyz deltas;
+success when the (virtual) grasped object is brought within a tolerance of
+the target while the gripper has closed at least once — a cartoon of
+PutOnInSceneEnv.evaluate's containment check
+(ManiSkill2 custom_scenes/put_on_in_scene.py:23-141). Observations follow
+the SIMPLER WidowX layout: 256x256x3 uint8 frame + agent.eef_pos
+[xyz, quat wxyz, gripper].
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from cover_vla_tpu.eval.benchmark import TASK_INSTRUCTIONS
+
+
+class FakeWidowXEnv:
+    """Deterministic scripted env with the SIMPLER observation surface."""
+
+    def __init__(self, task_name: str, max_steps: int = 60,
+                 success_radius: float = 0.05):
+        self.task_name = task_name
+        self.instruction = TASK_INSTRUCTIONS.get(
+            task_name, task_name.replace("_", " "))
+        self.max_steps = max_steps
+        self.success_radius = success_radius
+        self._rng = np.random.default_rng(0)
+
+    # gym surface -----------------------------------------------------------
+
+    def reset(self, seed: Optional[int] = None):
+        self._rng = np.random.default_rng(seed if seed is not None else 0)
+        self._t = 0
+        self._ee = np.array([0.05, 0.0, 0.15])
+        self._obj = self._rng.uniform([-0.1, -0.1, 0.02], [0.1, 0.1, 0.02])
+        self._target = self._rng.uniform([-0.15, -0.15, 0.02],
+                                         [0.15, 0.15, 0.02])
+        self._gripper = 0.8  # open
+        self._grasped = False
+        self.episode_stats = {
+            "moved_correct_obj": False,
+            "is_src_obj_grasped": False,
+            "consecutive_grasp": False,
+            "success": False,
+        }
+        return self._obs(), {}
+
+    def step(self, action: np.ndarray):
+        """action: [dx dy dz | axis-angle(3) | gripper ±1]."""
+        action = np.asarray(action, np.float64)
+        self._t += 1
+        self._ee = self._ee + np.clip(action[:3], -0.05, 0.05)
+        closing = action[6] < 0  # -1 = close (simpler convention)
+        near_obj = np.linalg.norm(self._ee - self._obj) < 0.06
+        if closing and near_obj:
+            self._grasped = True
+            self.episode_stats["is_src_obj_grasped"] = True
+            self.episode_stats["consecutive_grasp"] = True
+        if not closing:
+            self._grasped = False
+        if self._grasped:
+            self._obj = self._ee.copy()
+            self.episode_stats["moved_correct_obj"] = True
+        self._gripper = 0.1 if closing else 0.8
+
+        on_target = (np.linalg.norm(self._obj[:2] - self._target[:2])
+                     < self.success_radius) and not self._grasped \
+            and self.episode_stats["is_src_obj_grasped"]
+        self.episode_stats["success"] = bool(on_target)
+        done = bool(on_target)
+        trunc = self._t >= self.max_steps
+        reward = 1.0 if done else 0.0
+        return self._obs(), reward, done, trunc, {
+            "episode_stats": dict(self.episode_stats)}
+
+    def render(self) -> np.ndarray:
+        return self._frame()
+
+    # SIMPLER-compatible helpers -------------------------------------------
+
+    def get_language_instruction(self) -> str:
+        return self.instruction
+
+    def _obs(self) -> Dict:
+        quat = np.array([1.0, 0.0, 0.0, 0.0])  # wxyz identity
+        return {
+            "image": self._frame(),
+            "agent": {"eef_pos": np.concatenate(
+                [self._ee, quat, [self._gripper]]).astype(np.float32)},
+        }
+
+    def _frame(self) -> np.ndarray:
+        """A deterministic 256x256 rendering: background + object + target."""
+        img = np.full((256, 256, 3), 64, np.uint8)
+
+        def blob(center_xy, color, r=10):
+            cx = int(128 + center_xy[0] * 400)
+            cy = int(128 + center_xy[1] * 400)
+            y0, y1 = max(0, cy - r), min(256, cy + r)
+            x0, x1 = max(0, cx - r), min(256, cx + r)
+            img[y0:y1, x0:x1] = color
+
+        blob(self._target[:2], (0, 160, 0), r=14)
+        blob(self._obj[:2], (200, 60, 60), r=8)
+        blob(self._ee[:2], (60, 60, 220), r=5)
+        return img
+
+
+def make_fake_env(task_name: str, **kwargs) -> FakeWidowXEnv:
+    return FakeWidowXEnv(task_name, **kwargs)
+
+
+def get_image_from_obs_dict(env, obs: Dict) -> np.ndarray:
+    """Obs -> RGB frame selector; stands in for the upstream
+    get_image_from_maniskill2_obs_dict (missing from the vendored snapshot,
+    SURVEY.md §2.6) which picks the robot's RGB camera (3rd_view_camera
+    for WidowX)."""
+    if "image" in obs:
+        return obs["image"]
+    cams = obs.get("image_dict") or obs.get("sensor_data") or {}
+    for name in ("3rd_view_camera", "overhead_camera", "base_camera"):
+        if name in cams:
+            cam = cams[name]
+            return cam["rgb"] if isinstance(cam, dict) else cam
+    raise KeyError(f"no camera frame in obs keys {list(obs.keys())}")

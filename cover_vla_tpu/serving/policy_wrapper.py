@@ -1,0 +1,106 @@
+"""Policy wrappers served over the websocket RPC.
+
+The server-side counterpart of the reference's policy wrappers
+(INT-ACT/src/experiments/policies/policy_wrapper.py:18-170): preprocess obs
+-> model -> postprocess, exposed via the BasePolicy verbs. Two wrappers:
+
+  * `Pi0PolicyWrapper` — plain pi0 action-chunk inference with a host-side
+    action queue (LeRobotPolicyWrapper.select_action semantics).
+  * `CoVerPolicyWrapper` — the full verified engine behind the same verbs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cover_vla_tpu.configs import Pi0Config
+from cover_vla_tpu.data.tokenizer import Tokenizer, make_policy_tokenizer
+from cover_vla_tpu.engine import CoVerEngine
+from cover_vla_tpu.eval.adapters import BridgeSimplerAdapter
+from cover_vla_tpu.models import pi0
+
+
+class Pi0PolicyWrapper:
+    """obs {image uint8[H,W,3], state raw, task str} -> {actions [chunk, 7]}."""
+
+    def __init__(self, params, cfg: Pi0Config,
+                 tokenizer: Optional[Tokenizer] = None,
+                 adapter: Optional[BridgeSimplerAdapter] = None,
+                 noise_std: float = 1.0, seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer or make_policy_tokenizer(cfg.paligemma.vocab_size)
+        self.adapter = adapter or BridgeSimplerAdapter()
+        self.noise_std = noise_std
+        self._key = jax.random.PRNGKey(seed)
+
+        def _sample(params, key, images, img_masks, toks, masks, state):
+            return pi0.sample_actions(params, cfg, key, images, img_masks,
+                                      toks, masks, state, num_candidates=1,
+                                      noise_std=noise_std)
+        self._sample = jax.jit(_sample)
+        self.reset()
+
+    def reset(self) -> None:
+        self._queue: List[np.ndarray] = []
+        self.adapter.reset()
+
+    def switch_model(self, path: str) -> None:
+        from cover_vla_tpu.convert import checkpoints
+        self.params = checkpoints.load_params(path)
+        self.reset()
+
+    def infer(self, obs: Dict[str, Any]) -> Dict[str, Any]:
+        if not self._queue:
+            pre = self.adapter.preprocess({
+                "observation.images.top": np.asarray(obs["image"], np.uint8),
+                "observation.state": obs["state"],
+                "task": obs.get("task", ""),
+            })
+            toks, masks = self.tok.encode_batch(
+                pre["task"], self.cfg.tokenizer_max_length)
+            state = np.zeros((1, self.cfg.max_state_dim), np.float32)
+            state[:, :pre["observation.state"].shape[1]] = \
+                pre["observation.state"]
+            self._key, sub = jax.random.split(self._key)
+            actions = self._sample(
+                self.params, sub,
+                jnp.asarray(pre["observation.images.top"][:, None]),
+                jnp.ones((1, 1), bool), toks, masks, state)
+            raw_chunk = np.asarray(actions)[0, 0, :, :7]
+            self._queue = [a for a in self.adapter.postprocess(raw_chunk)]
+        return {"actions": np.asarray(self._queue.pop(0))}
+
+
+class CoVerPolicyWrapper:
+    """The verified engine behind the same RPC verbs. obs additionally may
+    carry 'reset_task' to (re)bind the instruction."""
+
+    def __init__(self, engine: CoVerEngine):
+        self.engine = engine
+        self.adapter = BridgeSimplerAdapter()
+
+    def reset(self) -> None:
+        self.engine.reset(self.engine.original_task)
+
+    def switch_model(self, path: str) -> None:
+        raise NotImplementedError("checkpoint switching: use convert API")
+
+    def infer(self, obs: Dict[str, Any]) -> Dict[str, Any]:
+        if "reset_task" in obs:
+            self.engine.reset(str(obs["reset_task"]))
+        proprio = self.adapter.preprocess_proprio(
+            {"agent": obs["agent"]}) if "agent" in obs else \
+            np.asarray(obs["proprio"], np.float32)
+        action = self.engine.step(np.asarray(obs["image"], np.uint8),
+                                  np.asarray(proprio, np.float32))
+        rec = self.engine.records[-1] if self.engine.records else None
+        return {
+            "actions": action,
+            "score": rec.max_score if rec else None,
+            "instruction": self.engine.task,
+        }

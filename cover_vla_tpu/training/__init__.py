@@ -1,0 +1,1 @@
+from cover_vla_tpu.training import optim, train_pi0

@@ -1,0 +1,103 @@
+"""Timing / logging / device-memory observability.
+
+Mirrors INT-ACT/src/utils/monitor.py (Timer :17, log_execution_time
+decorator :28-44, setup_logger :50+, log_allocated_gpu_memory) with
+TPU-native equivalents (jax device memory stats, jax.profiler traces).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+import logging
+import sys
+import time
+from typing import Optional
+
+
+class Timer:
+    """Incremental wall-clock timer: elapsed() returns time since last call."""
+
+    def __init__(self):
+        self._t = time.time()
+
+    def elapsed(self) -> float:
+        now = time.time()
+        dt = now - self._t
+        self._t = now
+        return dt
+
+    def reset(self):
+        self._t = time.time()
+
+
+def log_execution_time(logger: Optional[logging.Logger] = None):
+    """Decorator: log the wall time of each call."""
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(*a, **kw):
+            t0 = time.time()
+            out = fn(*a, **kw)
+            (logger or logging.getLogger(fn.__module__)).info(
+                "%s took %.3fs", fn.__name__, time.time() - t0)
+            return out
+        return wrapped
+    return deco
+
+
+def setup_logger(name: str = "cover_vla_tpu", log_file: Optional[str] = None,
+                 level=logging.INFO) -> logging.Logger:
+    logger = logging.getLogger(name)
+    logger.setLevel(level)
+    if not logger.handlers:
+        fmt = logging.Formatter(
+            "[%(asctime)s] %(name)s %(levelname)s: %(message)s")
+        sh = logging.StreamHandler(sys.stderr)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        if log_file:
+            fh = logging.FileHandler(log_file)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
+    return logger
+
+
+def log_device_memory(logger: Optional[logging.Logger] = None,
+                      tag: str = "") -> dict:
+    """TPU equivalent of log_allocated_gpu_memory: per-device HBM stats."""
+    import jax
+    out = {}
+    for d in jax.local_devices():
+        stats = getattr(d, "memory_stats", lambda: None)() or {}
+        used = stats.get("bytes_in_use", 0)
+        limit = stats.get("bytes_limit", 0)
+        out[str(d)] = {"bytes_in_use": used, "bytes_limit": limit}
+        if logger:
+            logger.info("%s %s: %.2f/%.2f GB", tag, d,
+                        used / 2**30, limit / 2**30)
+    return out
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str):
+    """jax.profiler trace scope (chrome-trace viewable in TensorBoard/xprof)."""
+    import jax
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class blockprint:
+    """Context manager silencing stdout (monitor.py blockprint)."""
+
+    def __enter__(self):
+        self._stdout = sys.stdout
+        sys.stdout = open("/dev/null", "w")
+        return self
+
+    def __exit__(self, *exc):
+        sys.stdout.close()
+        sys.stdout = self._stdout
+        return False

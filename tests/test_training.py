@@ -1,0 +1,113 @@
+"""Sharded training step + freeze masks + checkpoints + schedules."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cover_vla_tpu.configs import tiny_pi0_config
+from cover_vla_tpu.models import pi0
+from cover_vla_tpu.parallel.mesh import make_mesh, fsdp_sharding
+from cover_vla_tpu.training import train_pi0
+from cover_vla_tpu.training.optim import warmup_cosine, linear_warmup
+from cover_vla_tpu.convert import checkpoints
+
+CFG = tiny_pi0_config()
+
+
+def _batch(b=4):
+    rng = np.random.default_rng(0)
+    s = CFG.vision.image_size
+    return {
+        "images": rng.uniform(-1, 1, (b, 1, s, s, 3)).astype(np.float32),
+        "img_masks": np.ones((b, 1), bool),
+        "lang_tokens": rng.integers(0, CFG.paligemma.vocab_size,
+                                    (b, CFG.tokenizer_max_length)
+                                    ).astype(np.int32),
+        "lang_masks": np.ones((b, CFG.tokenizer_max_length), bool),
+        "state": rng.standard_normal((b, CFG.max_state_dim)).astype(np.float32),
+        "actions": rng.standard_normal(
+            (b, CFG.chunk_size, CFG.max_action_dim)).astype(np.float32),
+    }
+
+
+def test_train_step_reduces_loss_single_device():
+    tx = train_pi0.make_optimizer(warmup_cosine(1e-3, 2, 50))
+    state = train_pi0.init_train_state(jax.random.PRNGKey(0), CFG, tx)
+    step = train_pi0.make_train_step(CFG, tx)
+    batch = _batch()
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, jax.random.PRNGKey(i), batch)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 8
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # overfits a fixed batch
+
+
+def test_train_step_sharded_matches_mesh():
+    mesh = make_mesh(dp=2, fsdp=4)
+    tx = train_pi0.make_optimizer(warmup_cosine(1e-3, 2, 50))
+    with mesh:
+        state = train_pi0.init_train_state(jax.random.PRNGKey(0), CFG, tx,
+                                           mesh=mesh)
+        step = train_pi0.make_train_step(CFG, tx, mesh=mesh)
+        batch = train_pi0.shard_batch(_batch(b=8), mesh)
+        state, metrics = step(state, jax.random.PRNGKey(0), batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # largest params actually sharded over the fsdp axis
+    embed = state.params["paligemma"]["embed"]
+    assert "fsdp" in tuple(embed.sharding.spec)
+
+
+def test_freeze_mask_semantics():
+    params = pi0.init_pi0(jax.random.PRNGKey(0), CFG)
+    mask = train_pi0.freeze_mask(params, train_expert_only=True)
+    flat = dict(jax.tree_util.tree_leaves_with_path(mask))
+    assert not any(v for p, v in flat.items() if p[0].key == "vision")
+    assert not any(v for p, v in flat.items() if p[0].key == "paligemma")
+    assert all(v for p, v in flat.items() if p[0].key == "expert")
+    assert all(v for p, v in flat.items() if p[0].key == "action_out_proj")
+
+
+def test_frozen_params_do_not_update():
+    params = pi0.init_pi0(jax.random.PRNGKey(0), CFG)
+    mask = train_pi0.freeze_mask(params, train_expert_only=True)
+    tx = train_pi0.make_optimizer(warmup_cosine(1e-2, 0, 50), mask=mask)
+    state = train_pi0.TrainState(params, tx.init(params),
+                                 jnp.zeros((), jnp.int32))
+    step = train_pi0.make_train_step(CFG, tx)
+    new_state, _ = step(state, jax.random.PRNGKey(0), _batch())
+    before = jax.tree_util.tree_leaves(params["paligemma"])
+    after = jax.tree_util.tree_leaves(new_state.params["paligemma"])
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    # expert DID update
+    b0 = np.asarray(jax.tree_util.tree_leaves(params["expert"])[1])
+    a0 = np.asarray(jax.tree_util.tree_leaves(new_state.params["expert"])[1])
+    assert np.abs(b0 - a0).max() > 0
+
+
+def test_checkpoint_roundtrip_and_rotation(tmp_path):
+    params = pi0.init_pi0(jax.random.PRNGKey(0), CFG)
+    root = str(tmp_path / "ckpts")
+    for step_i in (1, 2, 3, 4):
+        checkpoints.save_train_state(root, step_i, params, keep_last=2)
+    kept = checkpoints.list_checkpoints(root)
+    assert [int(k.split("_")[-1]) for k in kept] == [3, 4]
+
+    restored, step = checkpoints.restore_train_state(root, params)
+    assert step == 4
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_schedules():
+    sched = warmup_cosine(1e-3, 10, 100)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-5)
+    assert float(sched(100)) < 2e-4
+    lin = linear_warmup(1e-4, 5)
+    np.testing.assert_allclose(float(lin(5)), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(lin(50)), 1e-4, rtol=1e-5)
