@@ -1,0 +1,235 @@
+"""Convert lerobot pi0 torch checkpoints -> cover_vla_tpu parameter trees.
+
+Source format: the HF-hub / save_pretrained safetensors of
+`PI0Policy` (lerobot_custom/.../pi0/modeling_pi0.py), with keys under
+  model.paligemma_with_expert.paligemma.*   (PaliGemma-3B + SigLIP tower)
+  model.paligemma_with_expert.gemma_expert.* (action expert)
+  model.{state_proj,action_in_proj,action_out_proj,action_time_mlp_in,out}
+  normalize_inputs / normalize_targets / unnormalize_outputs buffers.
+
+Converters take a {name: np.ndarray} state dict (use `load_state_dict` to
+read .safetensors / .pt files) so torch is only needed for file IO of .pt.
+
+Layout notes:
+  * torch Linear weights are [out, in] -> transposed to [in, out].
+  * per-layer tensors are stacked along a leading [depth] axis (our layer
+    scan layout).
+  * conv patch embedding [W, C, kh, kw] -> [(kh kw C), W] matching
+    ops.image.patchify's (row, col, channel) flattening.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from cover_vla_tpu.configs import Pi0Config, GemmaConfig, VitConfig
+
+Array = np.ndarray
+StateDict = Mapping[str, Array]
+
+
+def load_state_dict(path: str) -> Dict[str, Array]:
+    """Read a .safetensors or torch .pt/.bin file into numpy arrays."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return dict(load_file(path))
+    import torch
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(raw, dict) and "state_dict" in raw:
+        raw = raw["state_dict"]
+    return {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in raw.items()}
+
+
+def _t(sd: StateDict, key: str) -> Array:
+    return np.asarray(sd[key])
+
+
+def _linear(sd: StateDict, prefix: str) -> Dict[str, Array]:
+    return {"kernel": _t(sd, prefix + ".weight").T,
+            "bias": _t(sd, prefix + ".bias")}
+
+
+def _stack(fn, depth: int) -> Any:
+    import jax
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs),
+                                  *[fn(i) for i in range(depth)])
+
+
+# --------------------------------------------------------------------------
+# Gemma decoder stack (HF naming: model.layers.N.*)
+# --------------------------------------------------------------------------
+
+
+def convert_gemma(sd: StateDict, cfg: GemmaConfig, prefix: str,
+                  embed: bool, dtype=jnp.bfloat16) -> Dict[str, Any]:
+    prefix = prefix + "." if prefix and not prefix.endswith(".") else prefix
+
+    def layer(i: int) -> Dict[str, Array]:
+        p = f"{prefix}layers.{i}."
+        return {
+            "input_ln": _t(sd, p + "input_layernorm.weight"),
+            "q": _t(sd, p + "self_attn.q_proj.weight").T,
+            "k": _t(sd, p + "self_attn.k_proj.weight").T,
+            "v": _t(sd, p + "self_attn.v_proj.weight").T,
+            "o": _t(sd, p + "self_attn.o_proj.weight").T,
+            "post_ln": _t(sd, p + "post_attention_layernorm.weight"),
+            "gate": _t(sd, p + "mlp.gate_proj.weight").T,
+            "up": _t(sd, p + "mlp.up_proj.weight").T,
+            "down": _t(sd, p + "mlp.down_proj.weight").T,
+        }
+
+    layers = _stack(layer, cfg.depth)
+    out = {
+        "layers": {
+            k: jnp.asarray(v, jnp.float32 if k.endswith("_ln")
+                           else dtype)
+            for k, v in layers.items()
+        },
+        "final_norm": jnp.asarray(_t(sd, f"{prefix}norm.weight"),
+                                  jnp.float32),
+    }
+    if embed:
+        out["embed"] = jnp.asarray(_t(sd, f"{prefix}embed_tokens.weight"),
+                                   dtype)
+    return out
+
+
+# --------------------------------------------------------------------------
+# SigLIP vision tower (HF naming: vision_model.*)
+# --------------------------------------------------------------------------
+
+
+def convert_siglip_vision(sd: StateDict, cfg: VitConfig, prefix: str,
+                          dtype=jnp.bfloat16) -> Dict[str, Any]:
+    p = prefix + ".embeddings."
+    conv_w = _t(sd, p + "patch_embedding.weight")      # [W, C, kh, kw]
+    patch_kernel = conv_w.transpose(2, 3, 1, 0).reshape(-1, conv_w.shape[0])
+
+    def layer(i: int) -> Dict[str, Any]:
+        q = f"{prefix}.encoder.layers.{i}."
+        return {
+            "ln1": {"scale": _t(sd, q + "layer_norm1.weight"),
+                    "bias": _t(sd, q + "layer_norm1.bias")},
+            "attn": {
+                "q": {"kernel": _t(sd, q + "self_attn.q_proj.weight").T,
+                      "bias": _t(sd, q + "self_attn.q_proj.bias")},
+                "k": {"kernel": _t(sd, q + "self_attn.k_proj.weight").T,
+                      "bias": _t(sd, q + "self_attn.k_proj.bias")},
+                "v": {"kernel": _t(sd, q + "self_attn.v_proj.weight").T,
+                      "bias": _t(sd, q + "self_attn.v_proj.bias")},
+                "o": {"kernel": _t(sd, q + "self_attn.out_proj.weight").T,
+                      "bias": _t(sd, q + "self_attn.out_proj.bias")},
+            },
+            "ln2": {"scale": _t(sd, q + "layer_norm2.weight"),
+                    "bias": _t(sd, q + "layer_norm2.bias")},
+            "mlp": {
+                "fc1": {"kernel": _t(sd, q + "mlp.fc1.weight").T,
+                        "bias": _t(sd, q + "mlp.fc1.bias")},
+                "fc2": {"kernel": _t(sd, q + "mlp.fc2.weight").T,
+                        "bias": _t(sd, q + "mlp.fc2.bias")},
+            },
+        }
+
+    import jax
+    layers = _stack(layer, cfg.depth)
+
+    def cast(path, x):
+        is_ln = any(getattr(k, "key", "") in ("ln1", "ln2") for k in path)
+        return jnp.asarray(x, jnp.float32 if is_ln else dtype)
+
+    return {
+        "patch_embed": {"kernel": jnp.asarray(patch_kernel, dtype),
+                        "bias": jnp.asarray(
+                            _t(sd, p + "patch_embedding.bias"), dtype)},
+        "pos_emb": jnp.asarray(
+            _t(sd, p + "position_embedding.weight"), dtype),
+        "blocks": jax.tree_util.tree_map_with_path(cast, layers),
+        "final_ln": {
+            "scale": jnp.asarray(_t(sd, prefix + ".post_layernorm.weight"),
+                                 jnp.float32),
+            "bias": jnp.asarray(_t(sd, prefix + ".post_layernorm.bias"),
+                                jnp.float32)},
+    }
+
+
+# --------------------------------------------------------------------------
+# Full pi0 policy
+# --------------------------------------------------------------------------
+
+_PI0_ROOT = "model.paligemma_with_expert."
+
+
+def convert_pi0(sd: StateDict, cfg: Pi0Config,
+                dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Full PI0Policy state dict -> our parameter tree.
+
+    Handles both the lerobot layout (model.paligemma_with_expert...) and a
+    bare PaliGemmaWithExpertModel layout (auto-detected by key prefix).
+    """
+    keys = list(sd.keys())
+    root = _PI0_ROOT if any(k.startswith(_PI0_ROOT) for k in keys) else ""
+    pali = root + "paligemma."
+    # transformers renamed language_model paths across versions
+    lm_prefix = None
+    for cand in (pali + "language_model.model", pali + "model.language_model",
+                 pali + "language_model"):
+        if any(k.startswith(cand + ".layers.0.") for k in keys):
+            lm_prefix = cand
+            break
+    if lm_prefix is None:
+        raise KeyError("could not locate PaliGemma language model layers")
+    vt_prefix = None
+    for cand in (pali + "vision_tower.vision_model",
+                 pali + "model.vision_tower.vision_model"):
+        if any(k.startswith(cand) for k in keys):
+            vt_prefix = cand
+            break
+    mm_prefix = pali + ("multi_modal_projector"
+                        if pali + "multi_modal_projector.linear.weight"
+                        in sd or pali + "multi_modal_projector.weight" in sd
+                        else "model.multi_modal_projector")
+    mm_key = mm_prefix + (".linear" if mm_prefix + ".linear.weight" in sd
+                          else "")
+
+    def proj(name):
+        return {"kernel": jnp.asarray(_t(sd, f"model.{name}.weight").T,
+                                      jnp.float32),
+                "bias": jnp.asarray(_t(sd, f"model.{name}.bias"),
+                                    jnp.float32)}
+
+    return {
+        "vision": convert_siglip_vision(sd, cfg.vision, vt_prefix, dtype),
+        "mm_proj": {"kernel": jnp.asarray(_t(sd, mm_key + ".weight").T,
+                                          jnp.float32),
+                    "bias": jnp.asarray(_t(sd, mm_key + ".bias"),
+                                        jnp.float32)},
+        "paligemma": convert_gemma(sd, cfg.paligemma, lm_prefix, embed=True,
+                                   dtype=dtype),
+        "expert": convert_gemma(
+            sd, cfg.expert, root + "gemma_expert.model", embed=False,
+            dtype=dtype),
+        "state_proj": proj("state_proj"),
+        "action_in_proj": proj("action_in_proj"),
+        "action_out_proj": proj("action_out_proj"),
+        "time_mlp_in": proj("action_time_mlp_in"),
+        "time_mlp_out": proj("action_time_mlp_out"),
+    }
+
+
+def extract_norm_stats(sd: StateDict) -> Optional[Dict[str, Dict[str, Array]]]:
+    """Pull the lerobot Normalize/Unnormalize buffers if present."""
+    out: Dict[str, Dict[str, Array]] = {}
+    pat = re.compile(
+        r"(normalize_inputs|normalize_targets|unnormalize_outputs)"
+        r"\.buffer_(.+)\.(mean|std|min|max)")
+    for k, v in sd.items():
+        m = pat.fullmatch(k)
+        if m:
+            out.setdefault(f"{m.group(1)}.{m.group(2)}", {})[m.group(3)] = \
+                np.asarray(v)
+    return out or None

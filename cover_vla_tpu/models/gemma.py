@@ -81,7 +81,7 @@ def embed_tokens(params: Params, tokens: jax.Array) -> jax.Array:
 def _qkv(layer: Params, cfg: GemmaConfig, h: jax.Array,
          positions: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """input RMSNorm -> q/k/v projections -> RoPE. h: [..., S, W]."""
-    x = rms_norm(h, layer["input_ln"], cfg.rms_eps).astype(jnp.bfloat16)
+    x = rms_norm(h, layer["input_ln"], cfg.rms_eps).astype(layer["q"].dtype)
     shape = x.shape[:-1]
     q = (x @ layer["q"]).reshape(*shape, cfg.num_heads, cfg.head_dim)
     k = (x @ layer["k"]).reshape(*shape, cfg.num_kv_heads, cfg.head_dim)
@@ -98,9 +98,9 @@ def _qkv(layer: Params, cfg: GemmaConfig, h: jax.Array,
 def _post_attention(layer: Params, cfg: GemmaConfig, h: jax.Array,
                     attn_out: jax.Array) -> jax.Array:
     """o_proj + residual + post-LN + GeGLU MLP + residual."""
-    out = attn_out.astype(jnp.bfloat16) @ layer["o"]
+    out = attn_out.astype(layer["o"].dtype) @ layer["o"]
     h = h + out
-    y = rms_norm(h, layer["post_ln"], cfg.rms_eps).astype(jnp.bfloat16)
+    y = rms_norm(h, layer["post_ln"], cfg.rms_eps).astype(layer["gate"].dtype)
     gated = jax.nn.gelu(y @ layer["gate"], approximate=True) * (y @ layer["up"])
     return h + gated @ layer["down"]
 
@@ -146,7 +146,8 @@ def fused_forward(pg_params: Params, ex_params: Params,
         return (h_p, h_s), None
 
     (h_p, h_s), _ = jax.lax.scan(
-        body, (prefix_emb.astype(jnp.bfloat16), suffix_emb.astype(jnp.bfloat16)),
+        body, (prefix_emb.astype(pg_params["layers"]["q"].dtype),
+               suffix_emb.astype(ex_params["layers"]["q"].dtype)),
         (pg_params["layers"], ex_params["layers"]))
     h_p = rms_norm(h_p, pg_params["final_norm"], pg_cfg.rms_eps)
     h_s = rms_norm(h_s, ex_params["final_norm"], ex_cfg.rms_eps)
@@ -187,9 +188,9 @@ def prefill(pg_params: Params, cfg: GemmaConfig, prefix_emb: jax.Array,
         q, k, v = _qkv(layer, cfg, h, positions)
         attn = _masked_gqa(q, k, v, mask)
         h = _post_attention(layer, cfg, h, attn)
-        return h, {"k": k.astype(jnp.bfloat16), "v": v.astype(jnp.bfloat16)}
+        return h, {"k": k, "v": v}
 
-    h, cache = jax.lax.scan(body, prefix_emb.astype(jnp.bfloat16),
+    h, cache = jax.lax.scan(body, prefix_emb.astype(pg_params["layers"]["q"].dtype),
                             pg_params["layers"])
     if return_hidden:
         return rms_norm(h, pg_params["final_norm"], cfg.rms_eps), cache
@@ -226,7 +227,7 @@ def decode_shared_prefix(ex_params: Params, cfg: GemmaConfig,
         h = _post_attention(layer, cfg, h, attn)
         return h, None
 
-    h, _ = jax.lax.scan(body, suffix_emb.astype(jnp.bfloat16),
+    h, _ = jax.lax.scan(body, suffix_emb.astype(ex_params["layers"]["q"].dtype),
                         (ex_params["layers"], cache["k"], cache["v"]))
     return rms_norm(h, ex_params["final_norm"], cfg.rms_eps)
 

@@ -93,7 +93,7 @@ def _block(layer: Params, h: jax.Array, num_heads: int, eps: float,
     b, t, w = h.shape
     d = w // num_heads
     x = layer_norm(h, layer["ln1"]["scale"], layer["ln1"]["bias"], eps)
-    x = x.astype(jnp.bfloat16)
+    x = x.astype(layer["attn"]["q"]["kernel"].dtype)
     q = (x @ layer["attn"]["q"]["kernel"] + layer["attn"]["q"]["bias"]
          ).reshape(b, t, num_heads, d)
     k = (x @ layer["attn"]["k"]["kernel"] + layer["attn"]["k"]["bias"]
@@ -101,11 +101,11 @@ def _block(layer: Params, h: jax.Array, num_heads: int, eps: float,
     v = (x @ layer["attn"]["v"]["kernel"] + layer["attn"]["v"]["bias"]
          ).reshape(b, t, num_heads, d)
     attn = mha_attention(q, k, v, mask=mask)
-    attn_out = attn.astype(jnp.bfloat16) @ layer["attn"]["o"]["kernel"] \
-        + layer["attn"]["o"]["bias"]
+    attn_out = attn.astype(layer["attn"]["o"]["kernel"].dtype) \
+        @ layer["attn"]["o"]["kernel"] + layer["attn"]["o"]["bias"]
     h = h + attn_out
     y = layer_norm(h, layer["ln2"]["scale"], layer["ln2"]["bias"], eps)
-    y = y.astype(jnp.bfloat16)
+    y = y.astype(layer["mlp"]["fc1"]["kernel"].dtype)
     y = jax.nn.gelu(y @ layer["mlp"]["fc1"]["kernel"]
                     + layer["mlp"]["fc1"]["bias"], approximate=True)
     y = y @ layer["mlp"]["fc2"]["kernel"] + layer["mlp"]["fc2"]["bias"]
@@ -114,7 +114,8 @@ def _block(layer: Params, h: jax.Array, num_heads: int, eps: float,
 
 def vit_forward(params: Params, cfg: VitConfig, images: jax.Array) -> VitOutput:
     """images: [B, H, W, 3] in [-1, 1] float. Returns token features."""
-    patches = patchify(images, cfg.patch_size).astype(jnp.bfloat16)
+    patches = patchify(images, cfg.patch_size).astype(
+        params["patch_embed"]["kernel"].dtype)
     h = patches @ params["patch_embed"]["kernel"] + params["patch_embed"]["bias"]
     h = h + params["pos_emb"][None]
 

@@ -1,0 +1,340 @@
+"""Golden parity: convert REAL torch modules (built locally, random init)
+and compare forward outputs — the backward-compat regression pattern of the
+reference test suite (lerobot tests/policies/test_policies.py:399), done
+live instead of via stored artifacts.
+
+Covers: HF Gemma decoder, HF SigLIP vision tower, torch
+nn.MultiheadAttention cross-attention pooling, nn.TransformerEncoder
+trajectory encoder.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from cover_vla_tpu.configs import (
+    GemmaConfig, VitConfig, VerifierConfig, tiny_verifier_config)
+from cover_vla_tpu.models import gemma, siglip, verifier
+from cover_vla_tpu.ops.masks import make_att_2d_masks
+from cover_vla_tpu.convert import pi0_from_torch, verifier_from_torch
+
+
+def _sd_numpy(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+# --------------------------------------------------------------------------
+
+
+def test_gemma_parity_vs_hf():
+    """Our scanned Gemma stack == HF GemmaModel (fp32, prefix-LM mask)."""
+    from transformers import GemmaConfig as HFGemmaConfig
+    from transformers.models.gemma.modeling_gemma import GemmaModel
+
+    cfg = GemmaConfig(width=64, depth=2, mlp_dim=128, num_heads=4,
+                      num_kv_heads=1, head_dim=16, vocab_size=128)
+    hf_cfg = HFGemmaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=1,
+        head_dim=16, hidden_activation="gelu_pytorch_tanh",
+        rms_norm_eps=1e-6, rope_theta=10000.0, attention_bias=False,
+        attn_implementation="eager")
+    torch.manual_seed(0)
+    hf = GemmaModel(hf_cfg).eval()
+
+    params = pi0_from_torch.convert_gemma(_sd_numpy(hf), cfg, "",
+                                          embed=True, dtype=jnp.float32)
+
+    b, t = 2, 7
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 128, (b, t))
+    with torch.no_grad():
+        out_t = hf(input_ids=torch.from_numpy(tokens)).last_hidden_state
+
+    # HF scales token embeddings by sqrt(width) internally; our pi0 stack
+    # applies that scaling at embed_prefix — reproduce it here.
+    emb = gemma.embed_tokens(params, jnp.asarray(tokens)) * (64 ** 0.5)
+    positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    mask = jnp.tril(jnp.ones((t, t), bool))[None].repeat(b, 0)
+    hidden, _ = gemma.prefill(params, cfg, emb, positions, mask,
+                              return_hidden=True)
+    np.testing.assert_allclose(np.asarray(hidden), out_t.numpy(),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_siglip_vision_parity_vs_hf():
+    """Our ViT == HF SiglipVisionModel (fp32), incl. final post-LN."""
+    from transformers import SiglipVisionConfig
+    from transformers.models.siglip.modeling_siglip import SiglipVisionModel
+
+    cfg = VitConfig(width=48, depth=2, mlp_dim=96, num_heads=4,
+                    patch_size=8, image_size=32)
+    hf_cfg = SiglipVisionConfig(
+        hidden_size=48, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, image_size=32, patch_size=8,
+        hidden_act="gelu_pytorch_tanh", attn_implementation="eager")
+    torch.manual_seed(1)
+    hf = SiglipVisionModel(hf_cfg).eval()
+
+    params = pi0_from_torch.convert_siglip_vision(
+        _sd_numpy(hf), cfg, "vision_model", dtype=jnp.float32)
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        out_t = hf(pixel_values=torch.from_numpy(
+            img.transpose(0, 3, 1, 2))).last_hidden_state
+    out_j = siglip.vit_forward(params, cfg, jnp.asarray(img)).tokens
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_timm_vit_last_attn_parity():
+    """qkv-packed (timm-style) conversion: last-block attn output matches a
+    manual torch forward of the same block stack."""
+    cfg = VitConfig(width=32, depth=2, mlp_dim=64, num_heads=4,
+                    patch_size=8, image_size=16)
+
+    # Build a timm-naming state dict from torch modules
+    torch.manual_seed(2)
+    w = cfg.width
+    sd = {}
+    sd["visual.trunk.patch_embed.proj.weight"] = torch.randn(w, 3, 8, 8) * 0.05
+    sd["visual.trunk.patch_embed.proj.bias"] = torch.randn(w) * 0.05
+    sd["visual.trunk.pos_embed"] = torch.randn(1, cfg.num_patches, w) * 0.02
+    for i in range(cfg.depth):
+        p = f"visual.trunk.blocks.{i}."
+        sd[p + "norm1.weight"] = torch.ones(w)
+        sd[p + "norm1.bias"] = torch.zeros(w)
+        sd[p + "attn.qkv.weight"] = torch.randn(3 * w, w) * 0.1
+        sd[p + "attn.qkv.bias"] = torch.randn(3 * w) * 0.02
+        sd[p + "attn.proj.weight"] = torch.randn(w, w) * 0.1
+        sd[p + "attn.proj.bias"] = torch.randn(w) * 0.02
+        sd[p + "norm2.weight"] = torch.ones(w)
+        sd[p + "norm2.bias"] = torch.zeros(w)
+        sd[p + "mlp.fc1.weight"] = torch.randn(cfg.mlp_dim, w) * 0.1
+        sd[p + "mlp.fc1.bias"] = torch.randn(cfg.mlp_dim) * 0.02
+        sd[p + "mlp.fc2.weight"] = torch.randn(w, cfg.mlp_dim) * 0.1
+        sd[p + "mlp.fc2.bias"] = torch.randn(w) * 0.02
+    sd["visual.trunk.norm.weight"] = torch.ones(w)
+    sd["visual.trunk.norm.bias"] = torch.zeros(w)
+    sd_np = {k: v.numpy() for k, v in sd.items()}
+
+    params = verifier_from_torch.convert_timm_vit(sd_np, cfg,
+                                                  dtype=jnp.float32)
+
+    # manual torch forward (timm block semantics, tanh-gelu)
+    rng = np.random.default_rng(2)
+    img = rng.uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32)
+
+    def torch_forward(x_img):
+        x = torch.from_numpy(x_img.transpose(0, 3, 1, 2))
+        patch = torch.nn.functional.conv2d(
+            x, sd["visual.trunk.patch_embed.proj.weight"],
+            sd["visual.trunk.patch_embed.proj.bias"], stride=8)
+        h = patch.flatten(2).transpose(1, 2) + sd["visual.trunk.pos_embed"]
+        last_attn = None
+        for i in range(cfg.depth):
+            p = f"visual.trunk.blocks.{i}."
+            y = torch.nn.functional.layer_norm(
+                h, (w,), sd[p + "norm1.weight"], sd[p + "norm1.bias"], 1e-6)
+            qkv = y @ sd[p + "attn.qkv.weight"].T + sd[p + "attn.qkv.bias"]
+            q, k, v = qkv.chunk(3, dim=-1)
+            B, T, _ = q.shape
+            hd = w // cfg.num_heads
+            q = q.view(B, T, cfg.num_heads, hd).transpose(1, 2)
+            k = k.view(B, T, cfg.num_heads, hd).transpose(1, 2)
+            v = v.view(B, T, cfg.num_heads, hd).transpose(1, 2)
+            a = torch.softmax(q @ k.transpose(-1, -2) / hd ** 0.5, -1) @ v
+            a = a.transpose(1, 2).reshape(B, T, w)
+            attn_out = a @ sd[p + "attn.proj.weight"].T + sd[p + "attn.proj.bias"]
+            last_attn = attn_out
+            h = h + attn_out
+            y = torch.nn.functional.layer_norm(
+                h, (w,), sd[p + "norm2.weight"], sd[p + "norm2.bias"], 1e-6)
+            y = torch.nn.functional.gelu(
+                y @ sd[p + "mlp.fc1.weight"].T + sd[p + "mlp.fc1.bias"],
+                approximate="tanh")
+            h = h + y @ sd[p + "mlp.fc2.weight"].T + sd[p + "mlp.fc2.bias"]
+        return last_attn
+
+    with torch.no_grad():
+        expected = torch_forward(img).numpy()
+    got = siglip.vit_forward(params, cfg, jnp.asarray(img)).last_attn_out
+    np.testing.assert_allclose(np.asarray(got), expected,
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_attention_pooling_parity_vs_torch():
+    """Our pooling == torch CrossAttentionBlock stack (MultiheadAttention
+    with kdim != embed_dim + timm-Mlp + the post-norm residual wiring)."""
+    cfg = tiny_verifier_config()
+    kv_dim, out_dim, heads, layers = 24, 16, 4, 2
+    torch.manual_seed(3)
+
+    class TorchBlock(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.attention = torch.nn.MultiheadAttention(
+                out_dim, heads, batch_first=True, kdim=kv_dim, vdim=kv_dim)
+            self.mlp = torch.nn.Sequential()
+            self.mlp.fc1 = torch.nn.Linear(out_dim, out_dim)
+            self.mlp.act = torch.nn.GELU()
+            self.mlp.fc2 = torch.nn.Linear(out_dim, out_dim)
+            self.q_layer_norm = torch.nn.LayerNorm(out_dim)
+            self.layer_norm = torch.nn.LayerNorm(out_dim)
+
+        def forward(self, q, kv):
+            q = self.q_layer_norm(q)
+            attn, _ = self.attention(q, kv, kv)
+            q = q + attn
+            q = self.layer_norm(q)
+            x = self.mlp.fc2(self.mlp.act(self.mlp.fc1(q)))
+            return q + x
+
+    class TorchPool(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.query = torch.nn.Parameter(torch.randn(1, 1, out_dim))
+            self.blocks = torch.nn.ModuleList(
+                [TorchBlock() for _ in range(layers)])
+            self.layer_norm = torch.nn.LayerNorm(out_dim)
+
+        def forward(self, x):
+            q = self.query.expand(x.shape[0], -1, -1)
+            for blk in self.blocks:
+                q = blk(q, x)
+            return self.layer_norm(q).reshape(x.shape[0], -1)
+
+    pool = TorchPool().eval()
+    # rename attention submodule keys to the reference naming
+    sd = {k.replace(".attention.", ".attention."): v.detach().numpy()
+          for k, v in pool.state_dict().items()}
+
+    import dataclasses
+    vcfg = dataclasses.replace(cfg, pooling_layers=layers, pooling_heads=heads)
+    params = verifier_from_torch._convert_attention_pooling(sd, vcfg, kv_dim)
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 5, kv_dim)).astype(np.float32)
+    with torch.no_grad():
+        expected = pool(torch.from_numpy(x)).numpy()
+    got = verifier.attention_pooling(params, jnp.asarray(x), heads)
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-3,
+                               atol=2e-4)
+
+
+def test_traj_encoder_parity_vs_torch():
+    """Our post-LN encoder == nn.TransformerEncoder (relu, ff=2d,
+    batch_first=False) with src_key_padding_mask + masked mean pooling."""
+    d, heads, layers = 16, 4, 2
+    torch.manual_seed(4)
+    enc_layer = torch.nn.TransformerEncoderLayer(
+        d_model=d, nhead=heads, dim_feedforward=2 * d, dropout=0.0,
+        batch_first=False)
+    enc = torch.nn.TransformerEncoder(enc_layer, num_layers=layers).eval()
+
+    import dataclasses
+    vcfg = dataclasses.replace(tiny_verifier_config(), traj_layers=layers,
+                               traj_heads=heads)
+    params = verifier_from_torch._convert_traj_encoder(
+        {k: v.detach().numpy() for k, v in enc.state_dict().items()},
+        vcfg, d)
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((3, 6, d)).astype(np.float32)
+    pad = np.zeros((3, 6), bool)
+    pad[:, :2] = True  # first 2 steps padded
+    with torch.no_grad():
+        expected = enc(torch.from_numpy(x).permute(1, 0, 2),
+                       src_key_padding_mask=torch.from_numpy(pad)
+                       ).permute(1, 0, 2).numpy()
+    got = np.asarray(verifier.traj_encoder(params, jnp.asarray(x),
+                                           jnp.asarray(pad), heads))
+    # only non-padded positions are consumed downstream (masked mean)
+    np.testing.assert_allclose(got[~pad], expected[~pad], rtol=2e-3,
+                               atol=2e-4)
+
+
+def test_pi0_full_convert_roundtrip_shapes():
+    """A synthetic full pi0 state dict converts into a tree that runs."""
+    from cover_vla_tpu.configs import tiny_pi0_config
+    cfg = tiny_pi0_config()
+    torch.manual_seed(5)
+
+    sd = {}
+    w, e = cfg.paligemma, cfg.expert
+    v = cfg.vision
+    lm = "model.paligemma_with_expert.paligemma.language_model.model"
+    vt = "model.paligemma_with_expert.paligemma.vision_tower.vision_model"
+    ex = "model.paligemma_with_expert.gemma_expert.model"
+
+    def lin(name, o, i, bias=True):
+        sd[name + ".weight"] = torch.randn(o, i) * 0.05
+        if bias:
+            sd[name + ".bias"] = torch.randn(o) * 0.02
+
+    sd[lm + ".embed_tokens.weight"] = torch.randn(w.vocab_size, w.width) * 0.02
+    for mdl, pre in ((w, lm), (e, ex)):
+        for i in range(mdl.depth):
+            p = f"{pre}.layers.{i}"
+            sd[p + ".input_layernorm.weight"] = torch.zeros(mdl.width)
+            sd[p + ".post_attention_layernorm.weight"] = torch.zeros(mdl.width)
+            lin(p + ".self_attn.q_proj", mdl.num_heads * mdl.head_dim,
+                mdl.width, bias=False)
+            lin(p + ".self_attn.k_proj", mdl.num_kv_heads * mdl.head_dim,
+                mdl.width, bias=False)
+            lin(p + ".self_attn.v_proj", mdl.num_kv_heads * mdl.head_dim,
+                mdl.width, bias=False)
+            lin(p + ".self_attn.o_proj", mdl.width,
+                mdl.num_heads * mdl.head_dim, bias=False)
+            lin(p + ".mlp.gate_proj", mdl.mlp_dim, mdl.width, bias=False)
+            lin(p + ".mlp.up_proj", mdl.mlp_dim, mdl.width, bias=False)
+            lin(p + ".mlp.down_proj", mdl.width, mdl.mlp_dim, bias=False)
+        sd[pre + ".norm.weight"] = torch.zeros(mdl.width)
+
+    sd[vt + ".embeddings.patch_embedding.weight"] = \
+        torch.randn(v.width, 3, v.patch_size, v.patch_size) * 0.05
+    sd[vt + ".embeddings.patch_embedding.bias"] = torch.randn(v.width) * 0.02
+    sd[vt + ".embeddings.position_embedding.weight"] = \
+        torch.randn(v.num_patches, v.width) * 0.02
+    for i in range(v.depth):
+        p = f"{vt}.encoder.layers.{i}"
+        for nm in ("layer_norm1", "layer_norm2"):
+            sd[f"{p}.{nm}.weight"] = torch.ones(v.width)
+            sd[f"{p}.{nm}.bias"] = torch.zeros(v.width)
+        for nm in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            lin(f"{p}.self_attn.{nm}", v.width, v.width)
+        lin(f"{p}.mlp.fc1", v.mlp_dim, v.width)
+        lin(f"{p}.mlp.fc2", v.width, v.mlp_dim)
+    sd[vt + ".post_layernorm.weight"] = torch.ones(v.width)
+    sd[vt + ".post_layernorm.bias"] = torch.zeros(v.width)
+
+    lin("model.paligemma_with_expert.paligemma.multi_modal_projector.linear",
+        w.width, v.width)
+    lin("model.state_proj", cfg.proj_width, cfg.max_state_dim)
+    lin("model.action_in_proj", cfg.proj_width, cfg.max_action_dim)
+    lin("model.action_out_proj", cfg.max_action_dim, cfg.proj_width)
+    lin("model.action_time_mlp_in", cfg.proj_width, 2 * cfg.proj_width)
+    lin("model.action_time_mlp_out", cfg.proj_width, cfg.proj_width)
+
+    sd_np = {k: val.numpy() for k, val in sd.items()}
+    params = pi0_from_torch.convert_pi0(sd_np, cfg)
+
+    from cover_vla_tpu.models import pi0 as pi0_model
+    rng = np.random.default_rng(5)
+    out = pi0_model.sample_actions(
+        params, cfg, jax.random.PRNGKey(0),
+        jnp.asarray(rng.uniform(-1, 1, (1, 1, v.image_size, v.image_size, 3)),
+                    jnp.float32),
+        jnp.ones((1, 1), bool),
+        jnp.asarray(rng.integers(0, w.vocab_size,
+                                 (1, cfg.tokenizer_max_length))),
+        jnp.ones((1, cfg.tokenizer_max_length), bool),
+        jnp.zeros((1, cfg.max_state_dim), jnp.float32),
+        num_candidates=2)
+    assert out.shape == (1, 2, cfg.chunk_size, cfg.max_action_dim)
+    assert np.isfinite(np.asarray(out)).all()
