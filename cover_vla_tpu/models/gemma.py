@@ -198,6 +198,84 @@ def prefill(pg_params: Params, cfg: GemmaConfig, prefix_emb: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Autoregressive greedy decode (pi0-FAST action-token generation)
+# ---------------------------------------------------------------------------
+
+
+def lm_logits(params: Params, cfg: GemmaConfig, hidden: jax.Array) -> jax.Array:
+    """Tied-embedding LM head: logits = hidden @ embed^T, fp32."""
+    return jnp.matmul(hidden.astype(jnp.float32),
+                      params["embed"].astype(jnp.float32).T,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def ar_generate(params: Params, cfg: GemmaConfig, prefix_emb: jax.Array,
+                prefix_pad: jax.Array, max_new_tokens: int,
+                eos_id: int, pad_id: int = 0) -> jax.Array:
+    """Greedy autoregressive generation after a (right-padded) prefix.
+
+    The KV cache is preallocated to [L, B, P + max_new, Hkv, D]; new tokens
+    occupy fixed slots P+t with per-row RoPE positions (so right padding
+    needs no shifting — invalid key slots are masked). Rows that emit EOS
+    keep generating pad tokens (masked by callers).
+
+    Returns int32[B, max_new_tokens].
+    """
+    b, p_len, _ = prefix_emb.shape
+    positions = jnp.cumsum(prefix_pad.astype(jnp.int32), axis=1) - 1
+    mask2d = prefix_pad[:, None, :] & prefix_pad[:, :, None]
+    hidden, cache = prefill(params, cfg, prefix_emb, positions, mask2d,
+                            return_hidden=True)
+
+    total = p_len + max_new_tokens
+    kdt = cache["k"].dtype
+    kc = jnp.zeros((cfg.depth, b, total, cfg.num_kv_heads, cfg.head_dim), kdt
+                   ).at[:, :, :p_len].set(cache["k"])
+    vc = jnp.zeros_like(kc).at[:, :, :p_len].set(cache["v"])
+    key_valid = jnp.concatenate(
+        [prefix_pad, jnp.zeros((b, max_new_tokens), bool)], axis=1)
+
+    n_valid = jnp.sum(prefix_pad.astype(jnp.int32), axis=1)       # [B]
+    last_idx = n_valid - 1
+    first_logits = lm_logits(params, cfg, hidden[jnp.arange(b), last_idx])
+    token = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
+    done = token == eos_id
+    token = jnp.where(done, pad_id, token)
+
+    scale = jnp.asarray(cfg.width ** 0.5, dtype=params["embed"].dtype)
+
+    def step(carry, t):
+        kc, vc, key_valid, token, done, pos = carry
+        emb = (embed_tokens(params, token[:, None]) * scale)
+        key_valid = key_valid.at[:, p_len + t].set(True)
+
+        def layer_body(h, xs):
+            layer, kcl, vcl = xs
+            q, k, v = _qkv(layer, cfg, h, pos[:, None])
+            kcl = jax.lax.dynamic_update_slice_in_dim(
+                kcl, k.astype(kcl.dtype), p_len + t, axis=1)
+            vcl = jax.lax.dynamic_update_slice_in_dim(
+                vcl, v.astype(vcl.dtype), p_len + t, axis=1)
+            attn = _masked_gqa(q, kcl, vcl, key_valid[:, None, :])
+            h = _post_attention(layer, cfg, h, attn)
+            return h, (kcl, vcl)
+
+        h, (kc, vc) = jax.lax.scan(
+            layer_body, emb.astype(params["layers"]["q"].dtype),
+            (params["layers"], kc, vc))
+        h = rms_norm(h, params["final_norm"], cfg.rms_eps)
+        logits = lm_logits(params, cfg, h[:, 0])
+        next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_done = done | (next_token == eos_id)
+        next_token = jnp.where(done, pad_id, next_token)
+        return (kc, vc, key_valid, next_token, next_done, pos + 1), token
+
+    init = (kc, vc, key_valid, token, done, n_valid)
+    _, tokens = jax.lax.scan(step, init, jnp.arange(max_new_tokens))
+    return tokens.T  # [B, max_new]
+
+
+# ---------------------------------------------------------------------------
 # Shared-prefix decode (expert span only, N candidates per cached row)
 # ---------------------------------------------------------------------------
 
