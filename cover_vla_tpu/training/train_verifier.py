@@ -1,0 +1,97 @@
+"""Verifier contrastive training: symmetric InfoNCE over (image+text,
+trajectory) pairs, frozen SigLIP2 backbone, trainable heads only.
+
+TPU-native counterpart of train_siglip2_bridge_ddp
+(bridge_verifier/ensemble_eval/finetune_trajectory_bridge_ddp.py:548-1300):
+NCCL DDP -> a ('dp','fsdp') mesh with a sharded batch (gradient averaging
+falls out of the loss mean); symmetric cross-entropy (:893-899); top-k
+retrieval accuracy both directions (:446-469); linear-warmup LR (:826-837);
+grad-norm metrics (:489-508); checkpoint save/rotate via
+convert.checkpoints. Ensemble members are trained as independent seeds
+(the reference trains members in separate runs and merges; here a member
+index selects which head stack the step updates)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cover_vla_tpu.configs import VerifierConfig
+from cover_vla_tpu.models import verifier
+
+
+class VerifierTrainState(NamedTuple):
+    members: Any          # trainable head params (vmapped member axis)
+    opt_state: Any
+    step: jax.Array
+
+
+def info_nce_loss(member, cfg: VerifierConfig, feats, action_histories
+                  ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Symmetric InfoNCE for one member given frozen backbone features."""
+    it = verifier.member_image_text_embed(member, cfg, feats)
+    ac = verifier.member_action_embed(member, cfg, action_histories)
+    scale = jnp.exp(member["logit_scale"])
+    logits = scale * jnp.matmul(it, ac.T,
+                                precision=jax.lax.Precision.HIGHEST)
+    b = logits.shape[0]
+    labels = jnp.arange(b)
+    loss_i = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    loss_a = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
+    loss = 0.5 * (loss_i.mean() + loss_a.mean())
+    metrics = {
+        "loss": loss,
+        "logit_scale": member["logit_scale"],
+        **retrieval_metrics(logits),
+    }
+    return loss, metrics
+
+
+def retrieval_metrics(logits: jax.Array, ks=(1, 5)) -> Dict[str, jax.Array]:
+    """Top-k retrieval accuracy, image->action and action->image."""
+    b = logits.shape[0]
+    labels = jnp.arange(b)
+    out = {}
+    for name, l in (("i2a", logits), ("a2i", logits.T)):
+        ranks = jnp.sum(l > jnp.take_along_axis(
+            l, labels[:, None], axis=1), axis=1)
+        for k in ks:
+            out[f"top{k}_{name}"] = jnp.mean(ranks < k)
+    return out
+
+
+def make_train_step(cfg: VerifierConfig, tx: optax.GradientTransformation,
+                    member_idx: int = 0):
+    """Jitted step updating ONE member's heads; the backbone is a frozen
+    input (no gradients flow into it)."""
+
+    def step(state: VerifierTrainState, backbone, batch):
+        feats = verifier.extract_features(
+            {"backbone": backbone}, cfg, batch["images"], batch["text_tokens"])
+        feats = jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
+
+        def loss_fn(members):
+            member = jax.tree_util.tree_map(lambda x: x[member_idx], members)
+            return info_nce_loss(member, cfg, feats,
+                                 batch["action_histories"])
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.members)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.members)
+        members = optax.apply_updates(state.members, updates)
+        return VerifierTrainState(members, opt_state, state.step + 1), metrics
+
+    return jax.jit(step)
+
+
+def init_train_state(key, cfg: VerifierConfig, tx,
+                     num_members: int = 1) -> Tuple[Any, VerifierTrainState]:
+    """Returns (frozen backbone params, trainable state)."""
+    params = verifier.init_verifier(key, cfg, num_members=num_members)
+    members = params["members"]
+    return params["backbone"], VerifierTrainState(
+        members, tx.init(members), jnp.zeros((), jnp.int32))
