@@ -1,0 +1,224 @@
+"""Unified CLI entry point (INT-ACT src/agent/run.py equivalent).
+
+Roles:
+  train            — pi0 finetuning on a trajectory dataset (npz dir)
+  train_verifier   — verifier contrastive training
+  serve_policy     — websocket policy server (pi0 or CoVer engine)
+  eval             — closed-loop CoVer evaluation on a benchmark suite
+  bench            — the perf benchmark (same as bench.py)
+
+Usage: python -m cover_vla_tpu.run --role train --config cfg.yaml \
+       --train.batch_size 32
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class TrainCfg:
+    batch_size: int = 32
+    num_steps: int = 1000
+    lr: float = 5e-5
+    warmup_steps: int = 100
+    grad_accum: int = 1
+    dp: int = 0                 # 0 = auto (all devices on fsdp)
+    fsdp: int = 0
+    checkpoint_dir: str = "checkpoints"
+    save_every: int = 500
+    keep_last: int = 3
+    resume: bool = False
+    dataset_dir: str = ""       # dir of .npz trajectories
+    tiny: bool = False          # tiny model (CI)
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class ServeCfg:
+    host: str = "0.0.0.0"
+    port: int = 8000
+    mode: str = "pi0"           # pi0 | cover
+    checkpoint: str = ""
+    tiny: bool = False
+
+
+@dataclass(frozen=True)
+class EvalCfg:
+    task_suite: str = "simpler_widowx"
+    num_trials_per_task: int = 10
+    max_steps: int = 150
+    n_samples: int = 5
+    n_rephrases: int = 8
+    out_dir: str = "eval_out"
+    policy_checkpoint: str = ""
+    verifier_checkpoint: str = ""
+    tiny: bool = False
+    seed: int = 7
+
+
+@dataclass(frozen=True)
+class RunCfg:
+    role: str = "eval"
+    train: TrainCfg = TrainCfg()
+    serve: ServeCfg = ServeCfg()
+    eval: EvalCfg = EvalCfg()
+
+
+def _load_trajectories(dataset_dir: str):
+    """Each .npz holds one trajectory: images/states/actions (+task str)."""
+    trajs = []
+    for fn in sorted(os.listdir(dataset_dir)):
+        if fn.endswith(".npz"):
+            z = np.load(os.path.join(dataset_dir, fn), allow_pickle=True)
+            trajs.append({
+                "images": z["images"], "states": z["states"],
+                "actions": z["actions"],
+                "task": str(z["task"]) if "task" in z else "",
+            })
+    if not trajs:
+        raise FileNotFoundError(f"no .npz trajectories in {dataset_dir}")
+    return trajs
+
+
+def role_train(cfg: RunCfg):
+    import jax
+    from cover_vla_tpu.configs import Pi0Config, tiny_pi0_config
+    from cover_vla_tpu.data.pipeline import (
+        FrameDataset, interleave, batcher, make_pi0_batch)
+    from cover_vla_tpu.data.tokenizer import make_policy_tokenizer
+    from cover_vla_tpu.parallel.mesh import make_mesh
+    from cover_vla_tpu.training import train_pi0
+    from cover_vla_tpu.training.optim import warmup_cosine
+    from cover_vla_tpu.convert import checkpoints
+    from cover_vla_tpu.utils.monitor import setup_logger, Timer
+
+    log = setup_logger("train")
+    t = cfg.train
+    mcfg = tiny_pi0_config() if t.tiny else Pi0Config()
+    tok = make_policy_tokenizer(mcfg.paligemma.vocab_size)
+    trajs = _load_trajectories(t.dataset_dir)
+    ds = FrameDataset(trajs, chunk_size=mcfg.chunk_size)
+
+    n = len(jax.devices())
+    # the batch is sharded over every mesh device; fall back to single-device
+    # execution when the batch cannot be divided evenly
+    mesh = make_mesh(dp=t.dp or None, fsdp=t.fsdp or None) \
+        if n > 1 and t.batch_size % n == 0 else None
+    tx = train_pi0.make_optimizer(
+        warmup_cosine(t.lr, t.warmup_steps, t.num_steps),
+        accumulate_steps=t.grad_accum)
+    with (mesh or _nullcontext()):
+        state = train_pi0.init_train_state(
+            jax.random.PRNGKey(t.seed), mcfg, tx, mesh=mesh)
+        start = 0
+        if t.resume:
+            state, start = checkpoints.restore_train_state(
+                t.checkpoint_dir, state)
+            log.info("resumed from step %d", start)
+        step_fn = train_pi0.make_train_step(mcfg, tx, mesh=mesh)
+
+        timer = Timer()
+        frames = batcher(interleave([ds], seed=t.seed), t.batch_size)
+        for i, frame_batch in enumerate(frames):
+            if start + i >= t.num_steps:
+                break
+            batch = make_pi0_batch(frame_batch, tok, mcfg)
+            if mesh is not None:
+                batch = train_pi0.shard_batch(batch, mesh)
+            state, metrics = step_fn(
+                state, jax.random.PRNGKey(t.seed + start + i), batch)
+            if (start + i) % 10 == 0:
+                log.info("step %d loss %.4f (%.2fs)", start + i,
+                         float(metrics["loss"]), timer.elapsed())
+            if (start + i + 1) % t.save_every == 0:
+                checkpoints.save_train_state(
+                    t.checkpoint_dir, start + i + 1, state,
+                    keep_last=t.keep_last)
+    checkpoints.save_train_state(t.checkpoint_dir, t.num_steps, state,
+                                 keep_last=t.keep_last)
+    log.info("done")
+
+
+def role_serve(cfg: RunCfg):
+    import jax
+    from cover_vla_tpu.configs import Pi0Config, tiny_pi0_config
+    from cover_vla_tpu.models import pi0
+    from cover_vla_tpu.serving import (
+        WebsocketPolicyServer, Pi0PolicyWrapper)
+    from cover_vla_tpu.convert import checkpoints
+
+    s = cfg.serve
+    mcfg = tiny_pi0_config() if s.tiny else Pi0Config()
+    if s.checkpoint:
+        params = checkpoints.load_params(s.checkpoint)
+    else:
+        params = jax.jit(lambda k: pi0.init_pi0(k, mcfg))(
+            jax.random.PRNGKey(0))
+    policy = Pi0PolicyWrapper(params, mcfg)
+    server = WebsocketPolicyServer(policy, s.host, s.port,
+                                   metadata={"model": "pi0"})
+    print(f"serving pi0 on ws://{s.host}:{s.port}")
+    server.serve_forever()
+
+
+def role_eval(cfg: RunCfg):
+    import jax
+    from cover_vla_tpu.configs import (
+        Pi0Config, VerifierConfig, CoVerConfig, tiny_pi0_config,
+        tiny_verifier_config)
+    from cover_vla_tpu.models import pi0, verifier
+    from cover_vla_tpu.engine import CoVerEngine
+    from cover_vla_tpu.eval.evaluator import CoVerEvaluator, EvalConfig
+    from cover_vla_tpu.eval.rephrase import load_rephrases
+    from cover_vla_tpu.convert import checkpoints
+
+    e = cfg.eval
+    pcfg = tiny_pi0_config() if e.tiny else Pi0Config()
+    vcfg = tiny_verifier_config() if e.tiny else VerifierConfig()
+    ccfg = CoVerConfig(n_samples=e.n_samples, n_rephrases=e.n_rephrases)
+    pp = checkpoints.load_params(e.policy_checkpoint) if e.policy_checkpoint \
+        else jax.jit(lambda k: pi0.init_pi0(k, pcfg))(jax.random.PRNGKey(0))
+    vp = checkpoints.load_params(e.verifier_checkpoint) \
+        if e.verifier_checkpoint else jax.jit(
+            lambda k: verifier.init_verifier(k, vcfg, 3))(jax.random.PRNGKey(1))
+    engine = CoVerEngine(pp, vp, pcfg, vcfg, ccfg,
+                         rephrases=load_rephrases(), seed=e.seed)
+    ev = CoVerEvaluator(engine, EvalConfig(
+        task_suite=e.task_suite, num_trials_per_task=e.num_trials_per_task,
+        max_steps=e.max_steps, out_dir=e.out_dir, seed=e.seed))
+    out = ev.evaluate()
+    print(json.dumps(out["summary"], indent=2))
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
+def main(argv=None):
+    from cover_vla_tpu.utils.cli import parse
+    cfg = parse(RunCfg, argv)
+    role = {
+        "train": role_train,
+        "serve_policy": role_serve,
+        "eval": role_eval,
+    }.get(cfg.role)
+    if role is None:
+        raise SystemExit(f"unknown role {cfg.role!r} "
+                         f"(train|serve_policy|eval)")
+    role(cfg)
+
+
+if __name__ == "__main__":
+    main()

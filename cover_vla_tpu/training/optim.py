@@ -14,9 +14,11 @@ import optax
 
 def warmup_cosine(lr: float, warmup_steps: int, total_steps: int,
                   end_lr_ratio: float = 0.1) -> optax.Schedule:
+    warmup_steps = min(warmup_steps, max(0, total_steps - 1))
     return optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=lr, warmup_steps=warmup_steps,
-        decay_steps=total_steps, end_value=lr * end_lr_ratio)
+        decay_steps=max(total_steps, warmup_steps + 1),
+        end_value=lr * end_lr_ratio)
 
 
 def linear_warmup(lr: float, warmup_steps: int) -> optax.Schedule:
