@@ -79,11 +79,10 @@ def _verifier_image(raw_u8: jax.Array, size: int) -> jax.Array:
     return ((x / 255.0) - 0.5) / 0.5
 
 
-def make_verified_step(pcfg: Pi0Config, vcfg: VerifierConfig,
-                       ccfg: CoVerConfig, stats: DatasetStatistics):
-    """Build the jitted verified_step(policy_params, verifier_params, key,
-    raw_image, proprio, lang_tokens, lang_masks, verifier_tokens, history,
-    history_len) function."""
+def _build_step(pcfg: Pi0Config, vcfg: VerifierConfig,
+                ccfg: CoVerConfig, stats: DatasetStatistics):
+    """Build the unjitted single-episode verified step (see
+    make_verified_step for the argument contract)."""
     if ccfg.max_history + pcfg.chunk_size != vcfg.history_length:
         raise ValueError(
             f"verifier history_length ({vcfg.history_length}) must equal "
@@ -180,4 +179,29 @@ def make_verified_step(pcfg: Pi0Config, vcfg: VerifierConfig,
             winner_group=winner_group.astype(jnp.int32),
             max_score=max_score, used_stage2=used_stage2, scores=scores)
 
-    return jax.jit(step)
+    return step
+
+
+def make_verified_step(pcfg: Pi0Config, vcfg: VerifierConfig,
+                       ccfg: CoVerConfig, stats: DatasetStatistics):
+    """Jitted verified_step(policy_params, verifier_params, key, raw_image,
+    proprio, lang_tokens, lang_masks, verifier_tokens, history, history_len)
+    for ONE episode."""
+    return jax.jit(_build_step(pcfg, vcfg, ccfg, stats))
+
+
+def make_verified_step_batched(pcfg: Pi0Config, vcfg: VerifierConfig,
+                               ccfg: CoVerConfig, stats: DatasetStatistics):
+    """Episode-batched verified step: every per-episode argument gains a
+    leading E axis (raw_image [E,H,W,3], proprio [E,7], lang_tokens [E,K,T],
+    lang_masks [E,K,T], verifier_tokens [E,Tv], history [E,max_hist,7],
+    history_len int32[E], key [E,2]).
+
+    One dispatch drives E parallel environments (the reference's MS3
+    n_parallel_eval evaluation mode, simplerMS3_evaluator.py) — this both
+    amortises per-dispatch host/interconnect latency and fills the chip:
+    the policy runs E*K prefills and E*K*N candidate decodes in one program.
+    """
+    step = _build_step(pcfg, vcfg, ccfg, stats)
+    return jax.jit(jax.vmap(step, in_axes=(None, None, 0, 0, 0, 0, 0, 0,
+                                           0, 0)))

@@ -13,7 +13,9 @@ BENCHMARK_MAPPING: Dict[str, type] = {}
 
 
 def register_benchmark(cls):
-    BENCHMARK_MAPPING[cls().name.lower()] = cls
+    # register by class attribute (instantiating here would import env
+    # factories at module-import time and create cycles)
+    BENCHMARK_MAPPING[cls.name.lower()] = cls
     return cls
 
 

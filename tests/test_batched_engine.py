@@ -1,0 +1,70 @@
+"""Episode-batched verified step: vmap equivalence + lockstep evaluation."""
+
+import numpy as np
+import jax
+import pytest
+
+from cover_vla_tpu.configs import (
+    tiny_pi0_config, tiny_verifier_config, CoVerConfig)
+from cover_vla_tpu.data.stats import DatasetStatistics
+from cover_vla_tpu.models import pi0, verifier
+from cover_vla_tpu.engine import (
+    make_verified_step, make_verified_step_batched,
+    BatchedCoVerEngine, evaluate_batched)
+from cover_vla_tpu.eval.adapters import BridgeSimplerAdapter
+from cover_vla_tpu.eval.fake_env import FakeWidowXEnv
+
+PCFG = tiny_pi0_config()
+VCFG = tiny_verifier_config()
+CCFG = CoVerConfig(n_samples=2, n_rephrases=2)
+STATS = DatasetStatistics.from_json()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return (pi0.init_pi0(jax.random.PRNGKey(0), PCFG),
+            verifier.init_verifier(jax.random.PRNGKey(1), VCFG, 1))
+
+
+def test_batched_equals_single(params):
+    """vmapped E=2 batched step == two independent single steps."""
+    pp, vp = params
+    rng = np.random.default_rng(0)
+    e = 2
+    raw = rng.integers(0, 255, (e, 256, 256, 3)).astype(np.uint8)
+    prop = rng.uniform(-0.1, 0.1, (e, 7)).astype(np.float32)
+    k, t = CCFG.n_rephrases, PCFG.tokenizer_max_length
+    lt = rng.integers(0, PCFG.paligemma.vocab_size, (e, k, t)).astype(np.int32)
+    lm = np.ones((e, k, t), bool)
+    vt = rng.integers(0, VCFG.text.vocab_size,
+                      (e, VCFG.text.context_length)).astype(np.int32)
+    hist = rng.uniform(-1, 1, (e, CCFG.max_history, 7)).astype(np.float32)
+    hlen = np.asarray([2, 0], np.int32)
+    keys = jax.random.split(jax.random.PRNGKey(3), e)
+
+    batched = make_verified_step_batched(PCFG, VCFG, CCFG, STATS)
+    single = make_verified_step(PCFG, VCFG, CCFG, STATS)
+
+    rb = batched(pp, vp, keys, raw, prop, lt, lm, vt, hist, hlen)
+    for i in range(e):
+        rs = single(pp, vp, keys[i], raw[i], prop[i], lt[i], lm[i], vt[i],
+                    hist[i], hlen[i])
+        np.testing.assert_allclose(np.asarray(rb.exec_chunk[i]),
+                                   np.asarray(rs.exec_chunk),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(rb.scores[i]),
+                                   np.asarray(rs.scores),
+                                   rtol=1e-4, atol=1e-4)
+        assert int(rb.winner_idx[i]) == int(rs.winner_idx)
+
+
+def test_batched_lockstep_evaluation(params):
+    pp, vp = params
+    engine = BatchedCoVerEngine(pp, vp, PCFG, VCFG, CCFG, num_episodes=3,
+                                seed=0)
+    envs = [FakeWidowXEnv("widowx_carrot_on_plate", max_steps=8)
+            for _ in range(3)]
+    out = evaluate_batched(engine, envs, BridgeSimplerAdapter(), max_steps=8)
+    assert len(out["success"]) == 3
+    assert 0.0 <= out["success_rate"] <= 1.0
+    assert all(s <= 8 for s in out["steps"])
