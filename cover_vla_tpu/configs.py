@@ -144,6 +144,10 @@ class Pi0Config:
     # sinusoidal time embedding periods (modeling_pi0.py:611)
     time_min_period: float = 4e-3
     time_max_period: float = 4.0
+    # prefill attention backend: "xla" (fp32-upcast eager parity) or
+    # "pallas" (bf16-input flash kernel; mirrors the reference's
+    # attention_implementation flag, paligemma_with_expert.py:72)
+    attention_impl: str = "xla"
 
     @property
     def prefix_len(self) -> int:

@@ -1,0 +1,113 @@
+"""Verifier training dataset: the normalized Bridge-verifier JSON format.
+
+Mirrors BridgeDataset (finetune_trajectory_bridge_ddp.py:24-179) and the
+ijson streaming load (:1342-1374): a JSON with lookup tables
+  {"action_histories": {id: [[...7floats...], ...]},
+   "instructions": {id: str},
+   "samples": [{"image": path, "instruction_id": id,
+                 "action_history_id": id}, ...]}
+Images are loaded lazily per batch; histories are top-padded to
+history_length with the -5.0 fill.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from cover_vla_tpu.models.verifier import pad_action_histories
+
+
+class BridgeVerifierDataset:
+    def __init__(self, json_path: str, image_root: Optional[str] = None,
+                 history_length: int = 10, image_size: int = 384):
+        with open(json_path) as f:
+            raw = json.load(f)
+        self.action_histories: Dict[str, List] = raw["action_histories"]
+        self.instructions: Dict[str, str] = raw["instructions"]
+        self.samples: List[Dict] = raw["samples"]
+        self.image_root = image_root or os.path.dirname(json_path)
+        self.history_length = history_length
+        self.image_size = image_size
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def _load_image(self, rel: str) -> np.ndarray:
+        path = os.path.join(self.image_root, rel)
+        if rel.endswith(".npy"):
+            img = np.load(path)
+        else:
+            from PIL import Image
+            img = np.asarray(Image.open(path).convert("RGB"))
+        return img
+
+    def get(self, idx: int, tokenizer=None, context_length: int = 64) -> Dict:
+        s = self.samples[idx]
+        img = self._load_image(s["image"])
+        hist = np.asarray(
+            self.action_histories[str(s["action_history_id"])], np.float32)
+        instr = self.instructions[str(s["instruction_id"])]
+        out = {
+            "image": img,
+            "instruction": instr,
+            "action_history": pad_action_histories(
+                [hist], self.history_length)[0],
+        }
+        if tokenizer is not None:
+            toks, _ = tokenizer.encode_batch([instr], context_length)
+            out["text_tokens"] = toks[0]
+        return out
+
+    def batches(self, batch_size: int, tokenizer, context_length: int = 64,
+                seed: int = 0, preprocess=None) -> Iterator[Dict]:
+        """Shuffled epochs of collated batches ready for the verifier
+        train step (images preprocessed to [-1,1] at image_size)."""
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(self.samples))
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            idxs = order[start:start + batch_size]
+            items = [self.get(int(i), tokenizer, context_length)
+                     for i in idxs]
+            images = np.stack([_default_preprocess(it["image"],
+                                                   self.image_size)
+                               if preprocess is None else
+                               preprocess(it["image"]) for it in items])
+            yield {
+                "images": images,
+                "text_tokens": np.stack([it["text_tokens"] for it in items]),
+                "action_histories": np.stack(
+                    [it["action_history"] for it in items]),
+                "instructions": [it["instruction"] for it in items],
+            }
+
+
+def _default_preprocess(img: np.ndarray, size: int) -> np.ndarray:
+    """uint8 HWC -> [-1,1] float at size² (open_clip bicubic + mean/std .5)."""
+    from cover_vla_tpu.eval.simpler_utils import _resize_np, _bicubic_matrix
+    x = _resize_np(img, size, size, _bicubic_matrix)
+    return ((x / 255.0) - 0.5) / 0.5
+
+
+def save_normalized_dataset(path: str, samples: Sequence[Dict]) -> None:
+    """Write the normalized JSON format from raw (image, instruction,
+    history) triples — the converse of the loader, for dataset prep."""
+    action_histories, instructions, out_samples = {}, {}, []
+    instr_ids: Dict[str, str] = {}
+    for i, s in enumerate(samples):
+        hid = str(i)
+        action_histories[hid] = np.asarray(s["action_history"]).tolist()
+        instr = s["instruction"]
+        if instr not in instr_ids:
+            instr_ids[instr] = str(len(instr_ids))
+            instructions[instr_ids[instr]] = instr
+        out_samples.append({"image": s["image"],
+                            "instruction_id": instr_ids[instr],
+                            "action_history_id": hid})
+    with open(path, "w") as f:
+        json.dump({"action_histories": action_histories,
+                   "instructions": instructions,
+                   "samples": out_samples}, f)

@@ -177,16 +177,22 @@ def _masked_gqa(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def prefill(pg_params: Params, cfg: GemmaConfig, prefix_emb: jax.Array,
             positions: jax.Array, mask: jax.Array,
-            return_hidden: bool = False):
+            return_hidden: bool = False, attn_impl: str = "xla"):
     """Run the LM on the prefix, emitting per-layer K/V.
 
     Returns (hidden_or_None, cache) with cache = {"k": [L,B,P,Hkv,D],
     "v": [L,B,P,Hkv,D]} kept in bf16 (HBM-resident across the Euler loop).
     """
 
+    if attn_impl == "pallas":
+        from cover_vla_tpu.ops.pallas_attention import pallas_prefix_gqa
+        attn_fn = lambda q, k, v: pallas_prefix_gqa(q, k, v, mask)
+    else:
+        attn_fn = lambda q, k, v: _masked_gqa(q, k, v, mask)
+
     def body(h, layer):
         q, k, v = _qkv(layer, cfg, h, positions)
-        attn = _masked_gqa(q, k, v, mask)
+        attn = attn_fn(q, k, v)
         h = _post_attention(layer, cfg, h, attn)
         return h, {"k": k, "v": v}
 

@@ -205,7 +205,8 @@ def compute_prefix_cache(params: Params, cfg: Pi0Config, images, img_masks,
     positions = jnp.cumsum(prefix.pad_masks.astype(jnp.int32), axis=1) - 1
     hidden, cache = gemma.prefill(params["paligemma"], cfg.paligemma,
                                   prefix.embs, positions, mask2d,
-                                  return_hidden=return_hidden)
+                                  return_hidden=return_hidden,
+                                  attn_impl=cfg.attention_impl)
     return PrefixCache(cache=cache, pad_masks=prefix.pad_masks, hidden=hidden)
 
 

@@ -1,0 +1,132 @@
+"""Pallas TPU kernel: masked prefix-LM GQA attention (prefill path).
+
+Replaces the XLA einsum attention for the PaliGemma prefill, where the
+reference's eager semantics require fp32 scores/softmax over bf16 Q/K. The
+kernel keeps Q/K/V in bf16 in VMEM, computes the score block on the MXU
+with fp32 accumulation, applies the boolean mask with the gemma big-neg
+constant, and runs a streaming (flash) softmax over KV blocks — one pass,
+no [S, S] fp32 score tensor in HBM.
+
+Layout: grid (batch*heads, q-blocks); BlockSpecs stream Q tiles and the
+full K/V of the (batch, kv-head) into VMEM. Sizes here (S≈330-400, D=256)
+fit VMEM comfortably; KV is processed in 128-row blocks via fori_loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG_NEG = -2.3819763e38
+_BLOCK_Q = 128
+_BLOCK_K = 128
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
+                      kv_len: int):
+    """One (batch*head, q-block) program.
+
+    q_ref: [1, BLOCK_Q, D] bf16; k_ref/v_ref: [1, Skv, D] bf16;
+    mask_ref: [1, BLOCK_Q, Skv] int8; o_ref: [1, BLOCK_Q, D] fp32.
+    """
+    q = q_ref[0].astype(jnp.float32) * scale
+    d = q.shape[-1]
+    num_kv_blocks = pl.cdiv(kv_len, _BLOCK_K)
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, pl.ds(i * _BLOCK_K, _BLOCK_K), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [BQ, BK]
+        m = mask_ref[0, :, pl.ds(i * _BLOCK_K, _BLOCK_K)] != 0
+        s = jnp.where(m, s, BIG_NEG)
+
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0, pl.ds(i * _BLOCK_K, _BLOCK_K), :].astype(jnp.float32)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    m0 = jnp.full((q.shape[0], 1), BIG_NEG, jnp.float32)
+    l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
+    acc0 = jnp.zeros((q.shape[0], d), jnp.float32)
+    m_f, l_f, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
+    # fully-masked rows (padding queries) produce l == 0; emit zeros
+    o_ref[0] = jnp.where(l_f > 0, acc / jnp.maximum(l_f, 1e-37), 0.0)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_prefix_gqa(q: jax.Array, k: jax.Array, v: jax.Array,
+                      mask: jax.Array, interpret: bool = False) -> jax.Array:
+    """Masked GQA attention via the Pallas flash kernel.
+
+    q: [B, S, Hq, D]; k/v: [B, Skv, Hkv, D]; mask: bool[B, S, Skv]
+    (True = attend). Returns [B, S, Hq*D] in v.dtype.
+    Hq % Hkv == 0; each q head attends its kv group's single head.
+    """
+    b, s, hq, d = q.shape
+    skv, hkv = k.shape[1], k.shape[2]
+    groups = hq // hkv
+    scale = d ** -0.5
+
+    s_pad = _round_up(s, _BLOCK_Q)
+    skv_pad = _round_up(skv, _BLOCK_K)
+    qp = jnp.pad(q.astype(jnp.bfloat16),
+                 ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
+    kp = jnp.pad(k.astype(jnp.bfloat16),
+                 ((0, 0), (0, skv_pad - skv), (0, 0), (0, 0)))
+    vp = jnp.pad(v.astype(jnp.bfloat16),
+                 ((0, 0), (0, skv_pad - skv), (0, 0), (0, 0)))
+    mp = jnp.pad(mask, ((0, 0), (0, s_pad - s), (0, skv_pad - skv)))
+
+    # Fold query heads of each KV group into query ROWS so K/V are loaded
+    # once per (batch, kv-head) — no materialised head replication.
+    # qh: [B*Hkv, G*S, D]; kv: [B*Hkv, Skv, D]; mask shared across the group.
+    qh = qp.transpose(0, 2, 1, 3).reshape(b, hkv, groups * s_pad, d)
+    qh = qh.reshape(b * hkv, groups * s_pad, d)
+    kh = kp.transpose(0, 2, 1, 3).reshape(b * hkv, skv_pad, d)
+    vh = vp.transpose(0, 2, 1, 3).reshape(b * hkv, skv_pad, d)
+    mh = jnp.repeat(mp[:, None], hkv, axis=1).reshape(
+        b * hkv, s_pad, skv_pad).astype(jnp.int8)
+
+    rows = groups * s_pad
+    grid = (b * hkv, rows // _BLOCK_Q)
+    q_blocks_per_head = s_pad // _BLOCK_Q
+
+    out = pl.pallas_call(
+        functools.partial(_attention_kernel, scale=scale, kv_len=skv_pad),
+        out_shape=jax.ShapeDtypeStruct((b * hkv, rows, d), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _BLOCK_Q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # mask tile follows the q row position within the head
+            pl.BlockSpec((1, _BLOCK_Q, skv_pad),
+                         lambda i, j, qb=q_blocks_per_head: (i, j % qb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _BLOCK_Q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qh, kh, vh, mh)
+
+    out = out.reshape(b, hkv, groups, s_pad, d)[:, :, :, :s]
+    out = out.transpose(0, 3, 1, 2, 4)                 # [B, S, Hkv, G, D]
+    return out.reshape(b, s, hq * d).astype(v.dtype)

@@ -1,0 +1,68 @@
+"""Pallas flash prefix-LM attention kernel vs the XLA reference path
+(interpret mode on CPU; the same kernel compiles via Mosaic on TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cover_vla_tpu.ops.pallas_attention import pallas_prefix_gqa
+from cover_vla_tpu.ops.attention import gqa_attention
+
+
+@pytest.mark.parametrize("b,s,hq,hkv,d", [(1, 130, 8, 1, 128),
+                                          (2, 200, 8, 2, 128)])
+def test_pallas_matches_xla(b, s, hq, hkv, d):
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((b, s, hq, d)).astype(np.float32)
+    k = rng.standard_normal((b, s, hkv, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, hkv, d)).astype(np.float32)
+    pad = np.ones((b, s), bool)
+    pad[-1, s - 37:] = False
+    mask = pad[:, None, :] & pad[:, :, None]
+
+    ref = np.asarray(gqa_attention(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16), jnp.asarray(mask))).astype(np.float32)
+    got = np.asarray(pallas_prefix_gqa(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        interpret=True)).astype(np.float32)
+    valid = np.repeat(pad[:, :, None], hq * d, axis=2)
+    # bf16 input quantisation bounds the divergence
+    assert np.abs(ref - got)[valid].max() < 1.5e-2
+
+
+def test_pallas_prefill_flag():
+    """gemma.prefill(attn_impl='pallas') runs and approximates the XLA path."""
+    from cover_vla_tpu.configs import tiny_pi0_config, replace
+    from cover_vla_tpu.models import pi0
+    cfg = tiny_pi0_config()
+    params = pi0.init_pi0(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    s = cfg.vision.image_size
+    images = jnp.asarray(rng.uniform(-1, 1, (1, 1, s, s, 3)), jnp.float32)
+    im = jnp.ones((1, 1), bool)
+    toks = jnp.asarray(rng.integers(0, cfg.paligemma.vocab_size, (1, 8)))
+    masks = jnp.ones((1, 8), bool)
+    state = jnp.zeros((1, cfg.max_state_dim), jnp.float32)
+    noise = jnp.asarray(rng.standard_normal(
+        (1, 1, cfg.chunk_size, cfg.max_action_dim)), jnp.float32)
+
+    outs = {}
+    for impl in ("xla", "pallas"):
+        # interpret-mode pallas on CPU
+        import cover_vla_tpu.ops.pallas_attention as pa
+        orig = pa.pallas_prefix_gqa
+        if impl == "pallas":
+            pa.pallas_prefix_gqa = lambda q, k, v, m: orig(q, k, v, m,
+                                                           interpret=True)
+        try:
+            c = replace(cfg, attention_impl=impl)
+            cache = pi0.compute_prefix_cache(params, c, images, im, toks,
+                                             masks)
+            outs[impl] = np.asarray(pi0.denoise_from_cache(
+                params, c, state, cache, noise))
+        finally:
+            pa.pallas_prefix_gqa = orig
+    np.testing.assert_allclose(outs["xla"], outs["pallas"], rtol=0.1,
+                               atol=0.05)
