@@ -147,6 +147,52 @@ def role_train(cfg: RunCfg):
     log.info("done")
 
 
+def role_train_verifier(cfg: RunCfg):
+    """Verifier contrastive training from a normalized Bridge-verifier JSON
+    (train.dataset_dir points at the dataset json's directory or file)."""
+    import jax
+    from cover_vla_tpu.configs import VerifierConfig, tiny_verifier_config
+    from cover_vla_tpu.data.bridge_verifier_dataset import BridgeVerifierDataset
+    from cover_vla_tpu.data.tokenizer import make_verifier_tokenizer
+    from cover_vla_tpu.training import train_verifier
+    from cover_vla_tpu.training.optim import linear_warmup, make_adamw
+    from cover_vla_tpu.convert import checkpoints
+    from cover_vla_tpu.utils.monitor import setup_logger
+
+    log = setup_logger("train_verifier")
+    t = cfg.train
+    vcfg = tiny_verifier_config() if t.tiny else VerifierConfig()
+    json_path = t.dataset_dir if t.dataset_dir.endswith(".json") else \
+        os.path.join(t.dataset_dir, "dataset.json")
+    ds = BridgeVerifierDataset(json_path, history_length=vcfg.history_length,
+                               image_size=vcfg.vision.image_size)
+    tok = make_verifier_tokenizer(vcfg.text.vocab_size)
+
+    tx = make_adamw(linear_warmup(t.lr, t.warmup_steps))
+    backbone, state = train_verifier.init_train_state(
+        jax.random.PRNGKey(t.seed), vcfg, tx, num_members=1)
+    step_fn = train_verifier.make_train_step(vcfg, tx, member_idx=0)
+
+    i = 0
+    while i < t.num_steps:
+        for batch in ds.batches(t.batch_size, tok,
+                                vcfg.text.context_length, seed=t.seed + i):
+            batch.pop("instructions")
+            state, metrics = step_fn(state, backbone, batch)
+            if i % 10 == 0:
+                log.info("step %d loss %.4f top1 %.3f", i,
+                         float(metrics["loss"]),
+                         float(metrics["top1_i2a"]))
+            i += 1
+            if i >= t.num_steps:
+                break
+    checkpoints.save_train_state(t.checkpoint_dir, t.num_steps,
+                                 {"members": state.members,
+                                  "backbone": backbone},
+                                 keep_last=t.keep_last)
+    log.info("done")
+
+
 def role_serve(cfg: RunCfg):
     import jax
     from cover_vla_tpu.configs import Pi0Config, tiny_pi0_config
@@ -211,12 +257,13 @@ def main(argv=None):
     cfg = parse(RunCfg, argv)
     role = {
         "train": role_train,
+        "train_verifier": role_train_verifier,
         "serve_policy": role_serve,
         "eval": role_eval,
     }.get(cfg.role)
     if role is None:
         raise SystemExit(f"unknown role {cfg.role!r} "
-                         f"(train|serve_policy|eval)")
+                         f"(train|train_verifier|serve_policy|eval)")
     role(cfg)
 
 
