@@ -205,3 +205,24 @@ def make_verified_step_batched(pcfg: Pi0Config, vcfg: VerifierConfig,
     step = _build_step(pcfg, vcfg, ccfg, stats)
     return jax.jit(jax.vmap(step, in_axes=(None, None, 0, 0, 0, 0, 0, 0,
                                            0, 0)))
+
+
+def make_verified_step_sharded(pcfg: Pi0Config, vcfg: VerifierConfig,
+                               ccfg: CoVerConfig, stats: DatasetStatistics,
+                               mesh):
+    """Multi-chip episode-parallel verified step: the E axis is sharded
+    over every device of `mesh` (params replicated — the 3.3B policy fits a
+    chip; SURVEY.md §2.7: scaling is along the batch/candidate axis). Each
+    chip runs its episodes' full sample->score->select; no collectives are
+    needed in the loop, so throughput scales linearly over ICI-attached
+    chips. E must be a multiple of the mesh size."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    step = _build_step(pcfg, vcfg, ccfg, stats)
+    vstep = jax.vmap(step, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0))
+    axes = tuple(mesh.axis_names)
+    ep = NamedSharding(mesh, P(axes))         # shard leading episode axis
+    rep = NamedSharding(mesh, P())
+    return jax.jit(vstep,
+                   in_shardings=(rep, rep) + (ep,) * 8,
+                   out_shardings=ep)
