@@ -127,3 +127,25 @@ def generate_rephrase_store(instructions: Sequence[str], n_per_task: int = 33,
             "count": len(reph[:n_per_task]),
         }
     return store
+
+
+def main(argv=None):
+    """CLI: regenerate the rephrase store for the benchmark tasks
+    (generate_simpler_rephrases_vlm.py equivalent, offline backend)."""
+    import argparse
+    from cover_vla_tpu.eval.benchmark import TASK_INSTRUCTIONS
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_path")
+    ap.add_argument("--n-per-task", type=int, default=33)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    instructions = sorted(set(TASK_INSTRUCTIONS.values()))
+    store = generate_rephrase_store(instructions, args.n_per_task,
+                                    seed=args.seed)
+    with open(args.out_path, "w") as f:
+        json.dump(store, f, indent=2)
+    print(f"wrote {len(instructions)} tasks -> {args.out_path}")
+
+
+if __name__ == "__main__":
+    main()
