@@ -68,6 +68,14 @@ class BatchedCoVerEngine:
 
     def step(self, raw_images: np.ndarray, proprios: np.ndarray) -> np.ndarray:
         """raw_images: uint8[E,H,W,3]; proprios: fp32[E,7] -> actions [E,7]."""
+        return self.step_async(raw_images, proprios)()
+
+    def step_async(self, raw_images: np.ndarray, proprios: np.ndarray):
+        """Dispatch the device work for this tick WITHOUT blocking; returns
+        a resolver () -> actions [E,7]. JAX dispatch is asynchronous, so the
+        caller can overlap host work (e.g. stepping another cohort's
+        simulators) with the TPU call and resolve afterwards — the
+        double-buffered dispatch of SURVEY.md hard-part 5."""
         chunk = self.pcfg.chunk_size
         if self._tick % chunk == 0:
             k, t = self.ccfg.n_rephrases, self.pcfg.tokenizer_max_length
@@ -84,36 +92,111 @@ class BatchedCoVerEngine:
 
             self._key, sub = jax.random.split(self._key)
             keys = jax.random.split(sub, self.E)
+            # async dispatch: res holds device arrays; no host sync yet
             res = self._step_fn(
                 self.policy_params, self.verifier_params, keys,
                 np.ascontiguousarray(raw_images),
                 np.asarray(proprios, np.float32),
                 lang_tokens, lang_masks, vtoks,
                 self._history, self._history_len)
+            prompts_at_dispatch = [self._prompts(e) for e in range(self.E)]
 
-            exec_chunks = np.asarray(res.exec_chunk)      # [E, chunk, 7]
-            verif_chunks = np.asarray(res.verifier_chunk)
-            groups = np.asarray(res.winner_group)
-            stage2 = np.asarray(res.used_stage2)
-            self.last_scores = np.asarray(res.max_score)
-            for e in range(self.E):
-                if stage2[e]:
-                    self.tasks[e] = self._prompts(e)[int(groups[e])]
-            self._exec_queue = [exec_chunks[:, i] for i in range(1, chunk)]
-            self._verif_queue = [verif_chunks[:, i] for i in range(1, chunk)]
-            self._push_history(verif_chunks[:, 0])
-            actions = exec_chunks[:, 0]
+            def resolve():
+                exec_chunks = np.asarray(res.exec_chunk)   # [E, chunk, 7]
+                verif_chunks = np.asarray(res.verifier_chunk)
+                groups = np.asarray(res.winner_group)
+                stage2 = np.asarray(res.used_stage2)
+                self.last_scores = np.asarray(res.max_score)
+                for e in range(self.E):
+                    if stage2[e]:
+                        self.tasks[e] = prompts_at_dispatch[e][int(groups[e])]
+                self._exec_queue = [exec_chunks[:, i]
+                                    for i in range(1, chunk)]
+                self._verif_queue = [verif_chunks[:, i]
+                                     for i in range(1, chunk)]
+                self._push_history(verif_chunks[:, 0])
+                return exec_chunks[:, 0]
         else:
-            actions = self._exec_queue.pop(0)
-            self._push_history(self._verif_queue.pop(0))
+            def resolve(actions=self._exec_queue.pop(0),
+                        verif=self._verif_queue.pop(0)):
+                self._push_history(verif)
+                return actions
         self._tick += 1
-        return actions
+        return resolve
 
     def _push_history(self, verif_actions: np.ndarray):
         self._history = np.roll(self._history, -1, axis=1)
         self._history[:, -1] = verif_actions
         self._history_len = np.minimum(self._history_len + 1,
                                        self.ccfg.max_history)
+
+
+def evaluate_batched_pipelined(engine_a: BatchedCoVerEngine,
+                               engine_b: BatchedCoVerEngine,
+                               envs_a: Sequence, envs_b: Sequence,
+                               adapter, max_steps: int = 150,
+                               seeds_a: Optional[Sequence[int]] = None,
+                               seeds_b: Optional[Sequence[int]] = None) -> Dict:
+    """Two-cohort pipelined evaluation: while cohort A's verified step runs
+    on the TPU (async dispatch), cohort B's simulators step on the host, and
+    vice versa — hiding CPU physics time behind device compute
+    (SURVEY.md hard-part 5). Produces the same trajectories as running each
+    cohort with evaluate_batched."""
+    from cover_vla_tpu.eval.fake_env import get_image_from_obs_dict
+
+    def setup(engine, envs, seeds):
+        seeds = seeds or list(range(len(envs)))
+        obs, tasks = [], []
+        for env, seed in zip(envs, seeds):
+            o, _ = env.reset(seed=seed)
+            obs.append(o)
+            tasks.append(env.get_language_instruction())
+        engine.reset(tasks)
+        return {"obs": obs, "done": np.zeros(len(envs), bool),
+                "success": np.zeros(len(envs), bool),
+                "steps": np.zeros(len(envs), np.int32)}
+
+    def inputs(state, envs):
+        imgs = np.stack([get_image_from_obs_dict(env, o)
+                         for env, o in zip(envs, state["obs"])])
+        props = np.stack([adapter.preprocess_proprio({"agent": o["agent"]})
+                          for o in state["obs"]]).astype(np.float32)
+        return imgs, props
+
+    def advance(state, envs, actions, t):
+        for e, env in enumerate(envs):
+            if state["done"][e]:
+                continue
+            o, r, d, trunc, info = env.step(actions[e])
+            state["obs"][e] = o
+            state["steps"][e] = t + 1
+            if d:
+                state["done"][e] = state["success"][e] = True
+            elif trunc:
+                state["done"][e] = True
+
+    sa = setup(engine_a, envs_a, seeds_a)
+    sb = setup(engine_b, envs_b, seeds_b)
+    actions_b = None
+    for t in range(max_steps):
+        ra = engine_a.step_async(*inputs(sa, envs_a))
+        if actions_b is not None:               # host work under A's dispatch
+            advance(sb, envs_b, actions_b, t - 1)
+        actions_a = ra()
+        rb = engine_b.step_async(*inputs(sb, envs_b))
+        advance(sa, envs_a, actions_a, t)       # host work under B's dispatch
+        actions_b = rb()
+        if sa["done"].all() and sb["done"].all():
+            break
+    if actions_b is not None and not sb["done"].all():
+        advance(sb, envs_b, actions_b, t)
+
+    success = np.concatenate([sa["success"], sb["success"]])
+    return {
+        "success": success.tolist(),
+        "success_rate": float(success.mean()),
+        "steps": np.concatenate([sa["steps"], sb["steps"]]).tolist(),
+    }
 
 
 def evaluate_batched(engine: BatchedCoVerEngine, envs: Sequence,

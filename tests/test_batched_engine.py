@@ -68,3 +68,29 @@ def test_batched_lockstep_evaluation(params):
     assert len(out["success"]) == 3
     assert 0.0 <= out["success_rate"] <= 1.0
     assert all(s <= 8 for s in out["steps"])
+
+
+def test_pipelined_matches_sequential(params):
+    """Two-cohort pipelined evaluation == running each cohort alone."""
+    from cover_vla_tpu.engine.batched_engine import (
+        evaluate_batched_pipelined)
+    pp, vp = params
+
+    def fresh(seed):
+        return BatchedCoVerEngine(pp, vp, PCFG, VCFG, CCFG, num_episodes=2,
+                                  seed=seed)
+
+    def envs():
+        return [FakeWidowXEnv("widowx_carrot_on_plate", max_steps=8)
+                for _ in range(2)]
+
+    out_p = evaluate_batched_pipelined(
+        fresh(0), fresh(1), envs(), envs(), BridgeSimplerAdapter(),
+        max_steps=8, seeds_a=[0, 1], seeds_b=[2, 3])
+
+    out_a = evaluate_batched(fresh(0), envs(), BridgeSimplerAdapter(),
+                             max_steps=8, seeds=[0, 1])
+    out_b = evaluate_batched(fresh(1), envs(), BridgeSimplerAdapter(),
+                             max_steps=8, seeds=[2, 3])
+    assert out_p["success"] == out_a["success"] + out_b["success"]
+    assert out_p["steps"] == out_a["steps"] + out_b["steps"]
