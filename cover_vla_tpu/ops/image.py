@@ -102,19 +102,28 @@ def _bicubic_matrix(src: int, dst: int) -> np.ndarray:
     return m.astype(np.float32)
 
 
-def _separable_resize(img: jax.Array, h: int, w: int, matrix_fn) -> jax.Array:
-    """Apply row/col interpolation matrices. img: [B, H, W, C] float."""
+def _separable_resize(img: jax.Array, h: int, w: int, matrix_fn,
+                      clip_range=None) -> jax.Array:
+    """Apply row/col interpolation matrices. img: [B, H, W, C] float.
+    clip_range: optional (lo, hi) applied after EACH 1-D pass (PIL clamps
+    uint8 intermediates between passes)."""
     b, src_h, src_w, c = img.shape
     dtype = img.dtype
     x = img.astype(jnp.float32)
-    if src_h != h:
-        mh = jnp.asarray(matrix_fn(src_h, h))           # [h, src_h]
-        x = jnp.einsum("hs,bswc->bhwc", mh, x,
-                       precision=jax.lax.Precision.HIGHEST)
+    # PIL order: horizontal pass first, with a ROUNDED+clipped uint8
+    # intermediate for 8-bit images
     if src_w != w:
         mw = jnp.asarray(matrix_fn(src_w, w))           # [w, src_w]
         x = jnp.einsum("ws,bhsc->bhwc", mw, x,
                        precision=jax.lax.Precision.HIGHEST)
+        if clip_range is not None:
+            x = jnp.clip(jnp.round(x), *clip_range)
+    if src_h != h:
+        mh = jnp.asarray(matrix_fn(src_h, h))           # [h, src_h]
+        x = jnp.einsum("hs,bswc->bhwc", mh, x,
+                       precision=jax.lax.Precision.HIGHEST)
+        if clip_range is not None:
+            x = jnp.clip(jnp.round(x), *clip_range)
     return x.astype(dtype)
 
 
@@ -128,9 +137,13 @@ def resize_lanczos4(img: jax.Array, height: int, width: int) -> jax.Array:
     return _separable_resize(img, height, width, _lanczos4_matrix)
 
 
-def resize_bicubic_pil(img: jax.Array, height: int, width: int) -> jax.Array:
-    """PIL/torchvision BICUBIC resize (antialiased on downscale)."""
-    return _separable_resize(img, height, width, _bicubic_matrix)
+def resize_bicubic_pil(img: jax.Array, height: int, width: int,
+                       clip_range=(0.0, 255.0)) -> jax.Array:
+    """PIL/torchvision BICUBIC resize (antialiased on downscale). PIL
+    clamps uint8 data to [0,255] after each separable pass; pass
+    clip_range=None for float semantics."""
+    return _separable_resize(img, height, width, _bicubic_matrix,
+                             clip_range=clip_range)
 
 
 def resize_with_pad(img: jax.Array, height: int, width: int,

@@ -175,3 +175,22 @@ def test_sample_beta_moments():
     ref = g1 / (g1 + g2)
     np.testing.assert_allclose(s.mean(), ref.mean(), atol=0.01)
     np.testing.assert_allclose(s.std(), ref.std(), atol=0.01)
+
+
+def test_resize_bicubic_matches_pil():
+    """Verifier-path bicubic == PIL Image.resize(BICUBIC) incl. PIL's
+    rounded/clipped uint8 intermediate between the separable passes."""
+    from PIL import Image
+    from cover_vla_tpu.ops import resize_bicubic_pil
+    rng = np.random.default_rng(7)
+    for (src, dst) in [(64, 96), (64, 48)]:
+        img = rng.integers(0, 255, (src, src, 3)).astype(np.uint8)
+        ref = np.asarray(Image.fromarray(img).resize((dst, dst),
+                                                     Image.BICUBIC),
+                         dtype=np.float32)
+        got = np.asarray(resize_bicubic_pil(
+            jnp.asarray(img, jnp.float32)[None], dst, dst))[0]
+        diff = np.abs(got - ref)
+        # PIL quantises kernel weights to fixed point; <=2/255 on a few px
+        assert diff.max() <= 2.0
+        assert (diff > 1).mean() < 1e-3
