@@ -118,7 +118,7 @@ def fused_forward(pg_params: Params, ex_params: Params,
                   pg_cfg: GemmaConfig, ex_cfg: GemmaConfig,
                   prefix_emb: jax.Array, suffix_emb: jax.Array,
                   positions: jax.Array, mask: jax.Array,
-                  ) -> Tuple[jax.Array, jax.Array]:
+                  remat: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Run the fused dual-transformer on [prefix | suffix].
 
     Args:
@@ -144,6 +144,11 @@ def fused_forward(pg_params: Params, ex_params: Params,
         h_p = _post_attention(lp, pg_cfg, h_p, attn[:, :p_len])
         h_s = _post_attention(ls, ex_cfg, h_s, attn[:, p_len:])
         return (h_p, h_s), None
+
+    if remat:
+        # trade FLOPs for activation memory: recompute each layer in the
+        # backward pass (jax.checkpoint over the scanned layer body)
+        body = jax.checkpoint(body, prevent_cse=False)
 
     (h_p, h_s), _ = jax.lax.scan(
         body, (prefix_emb.astype(pg_params["layers"]["q"].dtype),

