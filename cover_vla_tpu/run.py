@@ -30,6 +30,8 @@ class TrainCfg:
     lr: float = 5e-5
     warmup_steps: int = 100
     grad_accum: int = 1
+    train_expert_only: bool = True   # freeze VLM+vision; grads/moments only
+                                     # for the expert + projections
     dp: int = 0                 # 0 = auto (all devices on fsdp)
     fsdp: int = 0
     checkpoint_dir: str = "checkpoints"
@@ -116,14 +118,23 @@ def role_train(cfg: RunCfg):
         warmup_cosine(t.lr, t.warmup_steps, t.num_steps),
         accumulate_steps=t.grad_accum)
     with (mesh or _nullcontext()):
-        state = train_pi0.init_train_state(
-            jax.random.PRNGKey(t.seed), mcfg, tx, mesh=mesh)
+        if t.train_expert_only and mesh is None:
+            # partitioned step: no grad buffers/moments for frozen weights
+            from cover_vla_tpu.models import pi0 as pi0_model
+            params = jax.jit(lambda k: pi0_model.init_pi0(k, mcfg))(
+                jax.random.PRNGKey(t.seed))
+            mask = train_pi0.freeze_mask(params, train_expert_only=True)
+            state = train_pi0.init_partitioned_state(params, tx, mask)
+            step_fn = train_pi0.make_partitioned_train_step(mcfg, tx, mask)
+        else:
+            state = train_pi0.init_train_state(
+                jax.random.PRNGKey(t.seed), mcfg, tx, mesh=mesh)
+            step_fn = train_pi0.make_train_step(mcfg, tx, mesh=mesh)
         start = 0
         if t.resume:
             state, start = checkpoints.restore_train_state(
                 t.checkpoint_dir, state)
             log.info("resumed from step %d", start)
-        step_fn = train_pi0.make_train_step(mcfg, tx, mesh=mesh)
 
         timer = Timer()
         frames = batcher(interleave([ds], seed=t.seed), t.batch_size)
