@@ -69,6 +69,21 @@ def rotate_checkpoints(root: str, keep_last: int) -> None:
         shutil.rmtree(old, ignore_errors=True)
 
 
+def cleanup_empty_runs(runs_root: str) -> int:
+    """Remove run directories that contain no checkpoints (the reference's
+    empty-run cleanup, trainer.py:572-586). Returns the number removed."""
+    removed = 0
+    if not os.path.isdir(runs_root):
+        return 0
+    for d in os.listdir(runs_root):
+        path = os.path.join(runs_root, d)
+        if os.path.isdir(path) and not list_checkpoints(path) \
+                and not os.listdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+            removed += 1
+    return removed
+
+
 def restore_train_state(root: str, target: Any) -> tuple[Any, int]:
     """Resume from the latest checkpoint; returns (state, step)."""
     path = latest_checkpoint(root)

@@ -142,3 +142,16 @@ def test_partitioned_train_step():
     a0 = np.asarray(jax.tree_util.tree_leaves(state.params["expert"])[1])
     assert np.abs(b0 - a0).max() > 0
     assert np.isfinite(losses).all()
+
+
+def test_cleanup_empty_runs(tmp_path):
+    import os
+    from cover_vla_tpu.convert.checkpoints import (
+        cleanup_empty_runs, save_train_state, list_checkpoints)
+    root = tmp_path / "runs"
+    os.makedirs(root / "empty_run")
+    os.makedirs(root / "good_run")
+    save_train_state(str(root / "good_run"), 1, {"w": jnp.ones(3)})
+    assert cleanup_empty_runs(str(root)) == 1
+    assert not (root / "empty_run").exists()
+    assert list_checkpoints(str(root / "good_run"))
