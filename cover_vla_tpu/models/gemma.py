@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from cover_vla_tpu.configs import GemmaConfig
 from cover_vla_tpu.ops.norms import rms_norm
 from cover_vla_tpu.ops.rope import apply_rope
-from cover_vla_tpu.ops.attention import BIG_NEG, HIGHEST
+from cover_vla_tpu.ops.attention import BIG_NEG, HIGHEST, score_precision
 
 Params = Dict[str, Any]
 
@@ -167,7 +167,7 @@ def _masked_gqa(q: jax.Array, k: jax.Array, v: jax.Array,
     g = hq // hkv
     q32 = q.astype(jnp.float32).reshape(b, sq, hkv, g, dim)
     scores = jnp.einsum("bqhgd,bkhd->bhgqk", q32, k.astype(jnp.float32),
-                        precision=HIGHEST)
+                        precision=score_precision())
     scores = scores * (dim ** -0.5)
     scores = jnp.where(mask[:, None, None, :, :], scores, BIG_NEG)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
@@ -342,12 +342,14 @@ def _shared_prefix_gqa(q: jax.Array, k_suf: jax.Array, v_suf: jax.Array,
 
     # [B, N, Hkv, G, S, P]
     scores_pre = jnp.einsum("bnshgd,bphd->bnhgsp", q32,
-                            k_pre.astype(jnp.float32), precision=HIGHEST)
+                            k_pre.astype(jnp.float32),
+                            precision=score_precision())
     scores_pre = jnp.where(prefix_pad[:, None, None, None, None, :],
                            scores_pre, BIG_NEG)
     # [B, N, Hkv, G, S, S]
     scores_suf = jnp.einsum("bnshgd,bnthd->bnhgst", q32,
-                            k_suf.astype(jnp.float32), precision=HIGHEST)
+                            k_suf.astype(jnp.float32),
+                            precision=score_precision())
     scores_suf = jnp.where(suffix_mask[:, None, None, None, :, :],
                            scores_suf, BIG_NEG)
 

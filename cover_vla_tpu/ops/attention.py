@@ -18,6 +18,24 @@ import jax.numpy as jnp
 BIG_NEG = -2.3819763e38  # matches gemma/modules.py masking constant
 HIGHEST = jax.lax.Precision.HIGHEST  # true-fp32 MXU passes for upcast score math
 
+# Attention-score matmul precision. HIGHEST reproduces the reference's
+# fp32-upcast eager attention bit-for-fp32; DEFAULT ("fast math") lets the
+# MXU run reduced-precision passes — measured +11% end-to-end verified-step
+# throughput with identical selected actions (scores differ by ~5e-5).
+_SCORE_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_fast_math(enabled: bool) -> None:
+    """Trade exact fp32 score parity for speed. Affects newly TRACED
+    programs only — call before building/jitting models."""
+    global _SCORE_PRECISION
+    _SCORE_PRECISION = (jax.lax.Precision.DEFAULT if enabled
+                        else jax.lax.Precision.HIGHEST)
+
+
+def score_precision():
+    return _SCORE_PRECISION
+
 
 def gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                   mask: jax.Array) -> jax.Array:
@@ -60,7 +78,7 @@ def mha_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     b, sq, h, d = q.shape
     scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
                         k.astype(jnp.float32),
-                        precision=HIGHEST) * (d ** -0.5)
+                        precision=score_precision()) * (d ** -0.5)
     if bias is not None:
         scores = scores + bias[:, None, :, :].astype(jnp.float32)
     if mask is not None:

@@ -194,3 +194,22 @@ def test_resize_bicubic_matches_pil():
         # PIL quantises kernel weights to fixed point; <=2/255 on a few px
         assert diff.max() <= 2.0
         assert (diff > 1).mean() < 1e-3
+
+
+def test_fast_math_toggle():
+    from cover_vla_tpu.ops import attention as att
+    try:
+        att.set_fast_math(True)
+        assert att.score_precision() == jax.lax.Precision.DEFAULT
+        # attention still numerically close to the parity path
+        rng = np.random.default_rng(9)
+        q = jnp.asarray(rng.standard_normal((1, 4, 2, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 4, 1, 8)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 4, 1, 8)), jnp.float32)
+        m = jnp.ones((1, 4, 4), bool)
+        fast = np.asarray(gqa_attention(q, k, v, m))
+        att.set_fast_math(False)
+        exact = np.asarray(gqa_attention(q, k, v, m))
+        np.testing.assert_allclose(fast, exact, rtol=1e-2, atol=1e-2)
+    finally:
+        att.set_fast_math(False)
