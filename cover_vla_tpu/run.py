@@ -118,13 +118,13 @@ def role_train(cfg: RunCfg):
         warmup_cosine(t.lr, t.warmup_steps, t.num_steps),
         accumulate_steps=t.grad_accum)
     with (mesh or _nullcontext()):
-        if t.train_expert_only and mesh is None:
-            # partitioned step: no grad buffers/moments for frozen weights
-            from cover_vla_tpu.models import pi0 as pi0_model
-            params = jax.jit(lambda k: pi0_model.init_pi0(k, mcfg))(
-                jax.random.PRNGKey(t.seed))
-            mask = train_pi0.freeze_mask(params, train_expert_only=True)
-            state = train_pi0.init_partitioned_state(params, tx, mask)
+        if t.train_expert_only:
+            # partitioned step: no grad buffers/moments for frozen weights —
+            # on a mesh the full params AND the trainable-only optimizer
+            # state are FSDP-sharded (reference freeze semantics,
+            # paligemma_with_expert.py:196-209, hold at any mesh shape)
+            state, mask = train_pi0.init_partitioned_train_state(
+                jax.random.PRNGKey(t.seed), mcfg, tx, mesh=mesh)
             step_fn = train_pi0.make_partitioned_train_step(mcfg, tx, mask)
         else:
             state = train_pi0.init_train_state(

@@ -127,6 +127,41 @@ def init_partitioned_state(params, tx, mask) -> PartitionedTrainState:
                                  jnp.zeros((), jnp.int32))
 
 
+def init_partitioned_train_state(key, cfg: Pi0Config, tx, mask=None,
+                                 mesh=None) -> PartitionedTrainState:
+    """Initialise a partitioned (expert-only) state, optionally FSDP-sharded.
+
+    On a mesh, both the full param tree and the trainable-leaf optimizer
+    state are sharded along 'fsdp' at init time (no full host
+    materialisation) — this is the multi-device counterpart of the
+    reference's freeze semantics (paligemma_with_expert.py:196-209 +
+    trainer.py:109-123): frozen leaves carry no grads and no moments,
+    regardless of mesh shape.
+    """
+    abstract = jax.eval_shape(lambda k: pi0.init_pi0(k, cfg), key)
+    if mask is None:
+        mask = freeze_mask(abstract, train_expert_only=True)
+    if mesh is None:
+        params = jax.jit(lambda k: pi0.init_pi0(k, cfg))(key)
+        return init_partitioned_state(params, tx, mask), mask
+
+    shardings = fsdp_sharding(abstract, mesh)
+    params = jax.jit(lambda k: pi0.init_pi0(k, cfg),
+                     out_shardings=shardings)(key)
+    train_abs, _, _, _ = _partition_leaves(abstract, mask)
+    opt_abs = jax.eval_shape(tx.init, train_abs)
+    opt_shardings = fsdp_sharding(opt_abs, mesh)
+
+    def _init_opt(p):
+        train, _, _, _ = _partition_leaves(p, mask)
+        return tx.init(train)
+
+    opt_state = jax.jit(_init_opt, out_shardings=opt_shardings)(params)
+    state = PartitionedTrainState(params, opt_state,
+                                  jnp.zeros((), jnp.int32))
+    return state, mask
+
+
 def make_train_step(cfg: Pi0Config, tx: optax.GradientTransformation,
                     mesh=None):
     """Build the (optionally pjit-sharded) train step."""
