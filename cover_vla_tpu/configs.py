@@ -148,6 +148,11 @@ class Pi0Config:
     # "pallas" (bf16-input flash kernel; mirrors the reference's
     # attention_implementation flag, paligemma_with_expert.py:72)
     attention_impl: str = "xla"
+    # dtype of the reference's hard embedding casts (modeling_pi0.py:534,579:
+    # img/state embeddings are rounded through bf16 before mixing with the
+    # fp32 projection outputs). "float32" disables the rounding — used for
+    # the fp32 full-path parity oracle.
+    compute_dtype: str = "bfloat16"
 
     @property
     def prefix_len(self) -> int:

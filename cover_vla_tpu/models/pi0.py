@@ -8,11 +8,12 @@ Differences by design (TPU-first):
     the PaliGemma prefill runs once per batch row and all N candidates
     decode against the same HBM-resident KV cache (the reference replicates
     the identical prefix B=N*K times — run_simpler_eval_with_openpi.py:312).
-  * Image/language embedding scalings: the reference multiplies image
-    embeddings by sqrt(width) after PaliGemma's get_image_features divided
-    by the same factor (HF modeling_paligemma), so the net image embedding
-    is the raw multi-modal-projector output; language embeddings are scaled
-    by sqrt(width) (modeling_pi0.py:538-553). We implement the net math.
+  * Image/language embedding scalings mirror the reference's exact
+    sequence: HF get_image_features divides the multi-modal-projector
+    output by sqrt(width); the pi0 code then rounds through
+    `compute_dtype` (hard bf16 cast, modeling_pi0.py:534) and multiplies
+    sqrt(width) back in that dtype; language embeddings are scaled by
+    sqrt(width) in embedding dtype (modeling_pi0.py:538-553).
 
 Numerics: fp32 projections (state/action/time MLP, action_out_proj), bf16
 transformer, fp32 RoPE/softmax — matching the reference dtype map
@@ -93,13 +94,18 @@ def embed_prefix(params: Params, cfg: Pi0Config, images: jax.Array,
     (the reference replicates the image B times —
     run_simpler_eval_with_openpi.py:312).
     """
+    cdt = jnp.dtype(cfg.compute_dtype)
     b = lang_tokens.shape[0]
     bi, n_img = images.shape[:2]
     flat = images.reshape((bi * n_img,) + images.shape[2:])
     vit_out = siglip.vit_forward(params["vision"], cfg.vision, flat)
-    # Net image embedding = multi-modal projector output (see module doc).
+    # Exact reference scale/cast sequence (see module doc): project, divide
+    # by sqrt(W) (get_image_features), round through compute_dtype, multiply
+    # sqrt(W) back in that dtype (modeling_pi0.py:534-540).
+    w_sqrt = cfg.paligemma.width ** 0.5
     img_emb = _linear(params["mm_proj"],
-                      vit_out.tokens.astype(jnp.float32)).astype(jnp.bfloat16)
+                      vit_out.tokens.astype(jnp.float32)) / w_sqrt
+    img_emb = img_emb.astype(cdt) * jnp.asarray(w_sqrt, cdt)
     img_emb = img_emb.reshape(bi, n_img * cfg.vision.num_patches, -1)
     if bi == 1 and b > 1:
         img_emb = jnp.broadcast_to(img_emb, (b,) + img_emb.shape[1:])
@@ -109,7 +115,7 @@ def embed_prefix(params: Params, cfg: Pi0Config, images: jax.Array,
     lang_emb = lang_emb * jnp.asarray(cfg.paligemma.width ** 0.5,
                                       dtype=lang_emb.dtype)
 
-    embs = jnp.concatenate([img_emb, lang_emb.astype(jnp.bfloat16)], axis=1)
+    embs = jnp.concatenate([img_emb, lang_emb.astype(cdt)], axis=1)
     img_pad = jnp.repeat(img_masks, cfg.vision.num_patches, axis=1)
     pad = jnp.concatenate([img_pad, lang_masks], axis=1)
     att = jnp.zeros((b, embs.shape[1]), dtype=jnp.int32)
@@ -124,9 +130,12 @@ def embed_suffix(params: Params, cfg: Pi0Config, state: jax.Array,
     fp32 (may carry a candidate axis); timestep: broadcastable to the leading
     dims of noisy_actions. Returns [..., 1 + chunk, proj_width] fp32.
     """
+    cdt = jnp.dtype(cfg.compute_dtype)
     lead = noisy_actions.shape[:-2]
+    # state embedding rounds through compute_dtype (modeling_pi0.py:579);
+    # the torch.cat with the fp32 action/time embeddings promotes it back
     state_emb = _linear(params["state_proj"], state.astype(jnp.float32))
-    state_emb = state_emb.astype(jnp.bfloat16).astype(jnp.float32)
+    state_emb = state_emb.astype(cdt).astype(jnp.float32)
     state_emb = jnp.broadcast_to(
         state_emb.reshape(state.shape[0], *([1] * (len(lead) - 1)), 1, -1),
         lead + (1, cfg.proj_width))
@@ -134,6 +143,9 @@ def embed_suffix(params: Params, cfg: Pi0Config, state: jax.Array,
     t_flat = jnp.broadcast_to(timestep, lead).reshape(-1)
     time_emb = sinusoidal_time_embedding(
         t_flat, cfg.proj_width, cfg.time_min_period, cfg.time_max_period)
+    # the reference casts the time embedding to the state embedding's dtype
+    # (modeling_pi0.py:600) before the fp32 action/time concat
+    time_emb = time_emb.astype(cdt).astype(jnp.float32)
     time_emb = time_emb.reshape(lead + (1, cfg.proj_width))
     time_emb = jnp.broadcast_to(time_emb, lead + (cfg.chunk_size, cfg.proj_width))
 
