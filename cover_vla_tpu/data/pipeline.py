@@ -70,9 +70,33 @@ class ParaphraseAugment:
         return task
 
 
+def _traj_frames(traj: Trajectory, chunk_size: int, rng,
+                 paraphrase: Optional[ParaphraseAugment],
+                 subsample_length: Optional[int],
+                 skip_unlabeled: bool) -> Iterator[Dict]:
+    task = traj.get("task", "")
+    if skip_unlabeled and not task:
+        return
+    chunked = chunk_trajectory(traj, chunk_size)
+    if subsample_length:
+        chunked = subsample(chunked, subsample_length, rng)
+    n = len(chunked["images"])
+    for t in range(n):
+        out_task = task
+        if paraphrase is not None:
+            out_task = paraphrase(task, rng)
+        yield {
+            "image": chunked["images"][t],
+            "state": chunked["states"][t],
+            "actions": chunked["actions"][t],
+            "action_is_pad": chunked["action_is_pad"][t],
+            "task": out_task,
+        }
+
+
 @dataclass
 class FrameDataset:
-    """Chunked frames of one underlying dataset."""
+    """Chunked frames of one in-memory dataset (episode-order shuffled)."""
     trajectories: List[Trajectory]
     chunk_size: int = 4
     paraphrase: Optional[ParaphraseAugment] = None
@@ -83,25 +107,30 @@ class FrameDataset:
         rng = np.random.default_rng(seed)
         order = rng.permutation(len(self.trajectories))
         for ti in order:
-            traj = self.trajectories[ti]
-            task = traj.get("task", "")
-            if self.skip_unlabeled and not task:
-                continue
-            chunked = chunk_trajectory(traj, self.chunk_size)
-            if self.subsample_length:
-                chunked = subsample(chunked, self.subsample_length, rng)
-            n = len(chunked["images"])
-            for t in range(n):
-                out_task = task
-                if self.paraphrase is not None:
-                    out_task = self.paraphrase(task, rng)
-                yield {
-                    "image": chunked["images"][t],
-                    "state": chunked["states"][t],
-                    "actions": chunked["actions"][t],
-                    "action_is_pad": chunked["action_is_pad"][t],
-                    "task": out_task,
-                }
+            yield from _traj_frames(
+                self.trajectories[ti], self.chunk_size, rng,
+                self.paraphrase, self.subsample_length, self.skip_unlabeled)
+
+
+@dataclass
+class StreamingFrameDataset:
+    """Chunked frames over a re-iterable episode SOURCE (e.g. an
+    rlds.RldsShardDataset): memory stays O(one episode) for arbitrarily
+    large datasets. Episodes stream in shard order; frame-level mixing
+    happens downstream in `interleave`'s shuffle buffer (the
+    rlds_dataset.py shuffle_buffer role)."""
+    source: object  # any re-iterable of Trajectory dicts
+    chunk_size: int = 4
+    paraphrase: Optional[ParaphraseAugment] = None
+    subsample_length: Optional[int] = None
+    skip_unlabeled: bool = False
+
+    def frames(self, seed: int = 0) -> Iterator[Dict]:
+        rng = np.random.default_rng(seed)
+        for traj in self.source:
+            yield from _traj_frames(
+                traj, self.chunk_size, rng, self.paraphrase,
+                self.subsample_length, self.skip_unlabeled)
 
 
 def interleave(datasets: Sequence[FrameDataset],

@@ -38,7 +38,15 @@ class TrainCfg:
     save_every: int = 500
     keep_last: int = 3
     resume: bool = False
-    dataset_dir: str = ""       # dir of .npz trajectories
+    dataset_dir: str = ""       # dir of .npz trajectories / rlds shards
+    data_format: str = "npz"    # npz | rlds (TFDS/OXE TFRecord shards)
+    shuffle_buffer: int = 1000  # interleave shuffle buffer (rlds_dataset.py)
+    augment: bool = False       # on-device random_resized_crop + color jitter
+    paraphrase_json: str = ""   # rephrase store for ParaphraseAugment
+    paraphrase_prob: float = 0.5
+    val_every: int = 0          # 0 = no validation (trainer.py:347-383)
+    metrics_jsonl: str = ""     # default: <checkpoint_dir>/metrics.jsonl
+    wandb_project: str = ""
     tiny: bool = False          # tiny model (CI)
     seed: int = 42
 
@@ -92,22 +100,72 @@ def _load_trajectories(dataset_dir: str):
 
 def role_train(cfg: RunCfg):
     import jax
+    import jax.numpy as jnp
     from cover_vla_tpu.configs import Pi0Config, tiny_pi0_config
     from cover_vla_tpu.data.pipeline import (
-        FrameDataset, interleave, batcher, make_pi0_batch)
+        FrameDataset, StreamingFrameDataset, ParaphraseAugment, interleave,
+        batcher, make_pi0_batch)
     from cover_vla_tpu.data.tokenizer import make_policy_tokenizer
     from cover_vla_tpu.parallel.mesh import make_mesh
+    from cover_vla_tpu.parallel.distributed import aggregate_metrics
     from cover_vla_tpu.training import train_pi0
     from cover_vla_tpu.training.optim import warmup_cosine
+    from cover_vla_tpu.training.validation import validate_pi0
     from cover_vla_tpu.convert import checkpoints
+    from cover_vla_tpu.utils.metrics_sink import make_sinks
     from cover_vla_tpu.utils.monitor import setup_logger, Timer
 
     log = setup_logger("train")
     t = cfg.train
     mcfg = tiny_pi0_config() if t.tiny else Pi0Config()
     tok = make_policy_tokenizer(mcfg.paligemma.vocab_size)
-    trajs = _load_trajectories(t.dataset_dir)
-    ds = FrameDataset(trajs, chunk_size=mcfg.chunk_size)
+
+    paraphrase = None
+    if t.paraphrase_json:
+        from cover_vla_tpu.eval.rephrase import load_rephrases
+        paraphrase = ParaphraseAugment(load_rephrases(t.paraphrase_json),
+                                       prob=t.paraphrase_prob)
+    if t.data_format == "rlds":
+        from cover_vla_tpu.data.rlds import RldsShardDataset
+        ds = StreamingFrameDataset(RldsShardDataset(t.dataset_dir),
+                                   chunk_size=mcfg.chunk_size,
+                                   paraphrase=paraphrase)
+    else:
+        trajs = _load_trajectories(t.dataset_dir)
+        ds = FrameDataset(trajs, chunk_size=mcfg.chunk_size,
+                          paraphrase=paraphrase)
+
+    s = mcfg.vision.image_size
+    if t.augment:
+        # on-device random_resized_crop + color jitter
+        # (obs_transforms.py frame transforms), raw uint8 in
+        from cover_vla_tpu.data import augment as aug
+
+        @jax.jit
+        def image_fn(key, imgs):
+            keys = jax.random.split(key, imgs.shape[0])
+            return jax.vmap(
+                lambda k, im: aug.augment_frame(k, im, (s, s)))(keys, imgs)
+    else:
+        from cover_vla_tpu.ops.image import resize_bilinear_torch
+
+        @jax.jit
+        def image_fn(key, imgs):
+            x = imgs.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+            if imgs.shape[1:3] != (s, s):
+                x = jax.vmap(lambda im: resize_bilinear_torch(im, s, s))(x)
+            return x
+
+    def device_batch(frame_batch, key):
+        batch = make_pi0_batch(frame_batch, tok, mcfg)
+        batch["images"] = np.asarray(
+            image_fn(key, np.asarray(frame_batch["image"])))[:, None]
+        return batch
+
+    sinks = make_sinks(
+        jsonl_path=t.metrics_jsonl or os.path.join(t.checkpoint_dir,
+                                                   "metrics.jsonl"),
+        wandb_project=t.wandb_project or None)
 
     n = len(jax.devices())
     # the batch is sharded over every mesh device; fall back to single-device
@@ -137,24 +195,42 @@ def role_train(cfg: RunCfg):
             log.info("resumed from step %d", start)
 
         timer = Timer()
-        frames = batcher(interleave([ds], seed=t.seed), t.batch_size)
+        frames = batcher(interleave([ds], seed=t.seed,
+                                    shuffle_buffer=t.shuffle_buffer),
+                         t.batch_size)
+        val_batch = None
+        if t.val_every:
+            # hold out the first batch as the rolling validation set
+            # (trainer.py:347-383 validates select_action against GT)
+            val_batch = device_batch(next(frames),
+                                     jax.random.PRNGKey(t.seed - 1))
         for i, frame_batch in enumerate(frames):
             if start + i >= t.num_steps:
                 break
-            batch = make_pi0_batch(frame_batch, tok, mcfg)
+            step_key = jax.random.PRNGKey(t.seed + start + i)
+            batch = device_batch(frame_batch, jax.random.fold_in(step_key, 1))
             if mesh is not None:
                 batch = train_pi0.shard_batch(batch, mesh)
-            state, metrics = step_fn(
-                state, jax.random.PRNGKey(t.seed + start + i), batch)
+            state, metrics = step_fn(state, step_key, batch)
             if (start + i) % 10 == 0:
+                m = aggregate_metrics({k: float(v)
+                                       for k, v in metrics.items()})
+                sinks.log(m, step=start + i)
                 log.info("step %d loss %.4f (%.2fs)", start + i,
-                         float(metrics["loss"]), timer.elapsed())
+                         m["loss"], timer.elapsed())
+            if t.val_every and (start + i + 1) % t.val_every == 0:
+                val = validate_pi0(state.params, mcfg, val_batch)
+                val = aggregate_metrics(val)
+                sinks.log({f"val/{k}": v for k, v in val.items()},
+                          step=start + i + 1)
+                log.info("step %d val %s", start + i + 1, val)
             if (start + i + 1) % t.save_every == 0:
                 checkpoints.save_train_state(
                     t.checkpoint_dir, start + i + 1, state,
                     keep_last=t.keep_last)
     checkpoints.save_train_state(t.checkpoint_dir, t.num_steps, state,
                                  keep_last=t.keep_last)
+    sinks.close()
     log.info("done")
 
 
