@@ -21,20 +21,123 @@ import numpy as np
 from cover_vla_tpu.models.verifier import pad_action_histories
 
 
+def _stream_json_field(path: str, key: str, chunk_size: int = 1 << 16):
+    """Incrementally parse one top-level array/object field of a large JSON
+    file (the reference's ijson streaming load, finetune...py:1342-1374):
+    yields array elements, or (key, value) pairs for an object field, while
+    only ever holding one element plus a read buffer in memory."""
+    dec = json.JSONDecoder()
+    target = f'"{key}"'
+    with open(path) as f:
+        buf = ""
+        # scan to the field's opening bracket
+        start = None
+        while start is None:
+            chunk = f.read(chunk_size)
+            if not chunk:
+                raise KeyError(f"{key!r} not found in {path}")
+            buf += chunk
+            i = buf.find(target)
+            if i >= 0:
+                for j in range(i + len(target), len(buf)):
+                    if buf[j] in "[{":
+                        start = j
+                        break
+                else:
+                    continue  # bracket not buffered yet
+            else:
+                buf = buf[-len(target):]
+        is_array = buf[start] == "["
+        closer = "]" if is_array else "}"
+        buf = buf[start + 1:]
+
+        def refill():
+            nonlocal buf
+            chunk = f.read(chunk_size)
+            if not chunk:
+                raise ValueError(f"truncated JSON while streaming {key!r}")
+            buf += chunk
+
+        while True:
+            buf = buf.lstrip()
+            while not buf:
+                refill()
+                buf = buf.lstrip()
+            if buf[0] == closer:
+                return
+            if buf[0] == ",":
+                buf = buf[1:]
+                continue
+            if not is_array:
+                # parse  "key" : value
+                while True:
+                    try:
+                        k, end = dec.raw_decode(buf)
+                        break
+                    except ValueError:
+                        refill()
+                buf = buf[end:].lstrip()
+                while not buf or buf[0] != ":":
+                    refill()
+                    buf = buf.lstrip()
+                buf = buf[1:]
+                while True:
+                    try:
+                        v, end = dec.raw_decode(buf.lstrip())
+                        break
+                    except ValueError:
+                        refill()
+                buf = buf.lstrip()[end:]
+                yield k, v
+            else:
+                while True:
+                    try:
+                        v, end = dec.raw_decode(buf)
+                        break
+                    except ValueError:
+                        refill()
+                buf = buf[end:]
+                yield v
+
+
 class BridgeVerifierDataset:
     def __init__(self, json_path: str, image_root: Optional[str] = None,
-                 history_length: int = 10, image_size: int = 384):
-        with open(json_path) as f:
-            raw = json.load(f)
-        self.action_histories: Dict[str, List] = raw["action_histories"]
-        self.instructions: Dict[str, str] = raw["instructions"]
-        self.samples: List[Dict] = raw["samples"]
+                 history_length: int = 10, image_size: int = 384,
+                 streaming: bool = False):
+        if streaming:
+            # one streamed pass per table: peak memory is the decoded
+            # tables, never the whole file string (ijson-equivalent)
+            self.action_histories = dict(
+                _stream_json_field(json_path, "action_histories"))
+            self.instructions = dict(
+                _stream_json_field(json_path, "instructions"))
+            self.samples = list(_stream_json_field(json_path, "samples"))
+        else:
+            with open(json_path) as f:
+                raw = json.load(f)
+            self.action_histories: Dict[str, List] = raw["action_histories"]
+            self.instructions: Dict[str, str] = raw["instructions"]
+            self.samples: List[Dict] = raw["samples"]
         self.image_root = image_root or os.path.dirname(json_path)
         self.history_length = history_length
         self.image_size = image_size
 
     def __len__(self) -> int:
         return len(self.samples)
+
+    def split(self, val_fraction: float, seed: int = 0):
+        """Deterministic train/val split by sample index (the reference's
+        in-training validation split)."""
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(self.samples))
+        n_val = max(1, int(len(order) * val_fraction))
+        val_idx = set(order[:n_val].tolist())
+        import copy
+        train, val = copy.copy(self), copy.copy(self)
+        train.samples = [s for i, s in enumerate(self.samples)
+                         if i not in val_idx]
+        val.samples = [s for i, s in enumerate(self.samples) if i in val_idx]
+        return train, val
 
     def _load_image(self, rel: str) -> np.ndarray:
         path = os.path.join(self.image_root, rel)

@@ -45,6 +45,8 @@ class TrainCfg:
     paraphrase_json: str = ""   # rephrase store for ParaphraseAugment
     paraphrase_prob: float = 0.5
     val_every: int = 0          # 0 = no validation (trainer.py:347-383)
+    val_fraction: float = 0.1   # held-out fraction (verifier training)
+    num_members: int = 3        # verifier ensemble size
     metrics_jsonl: str = ""     # default: <checkpoint_dir>/metrics.jsonl
     wandb_project: str = ""
     tiny: bool = False          # tiny model (CI)
@@ -235,15 +237,23 @@ def role_train(cfg: RunCfg):
 
 
 def role_train_verifier(cfg: RunCfg):
-    """Verifier contrastive training from a normalized Bridge-verifier JSON
-    (train.dataset_dir points at the dataset json's directory or file)."""
+    """Verifier ensemble training from a normalized Bridge-verifier JSON
+    (train.dataset_dir points at the dataset json's directory or file).
+
+    Full lifecycle (finetune_trajectory_bridge_ddp.py:511-671 semantics):
+    trains ALL --train.num_members members in one vmapped step, validates
+    retrieval top-1 on a held-out split, keeps the best checkpoint plus the
+    last keep_last (manage_checkpoints), resumes from the optimizer state,
+    and exports the merged ensemble in the reference .pt schema."""
     import jax
     from cover_vla_tpu.configs import VerifierConfig, tiny_verifier_config
     from cover_vla_tpu.data.bridge_verifier_dataset import BridgeVerifierDataset
     from cover_vla_tpu.data.tokenizer import make_verifier_tokenizer
+    from cover_vla_tpu.parallel.distributed import aggregate_metrics
     from cover_vla_tpu.training import train_verifier
     from cover_vla_tpu.training.optim import linear_warmup, make_adamw
     from cover_vla_tpu.convert import checkpoints
+    from cover_vla_tpu.utils.metrics_sink import make_sinks
     from cover_vla_tpu.utils.monitor import setup_logger
 
     log = setup_logger("train_verifier")
@@ -255,28 +265,85 @@ def role_train_verifier(cfg: RunCfg):
                                image_size=vcfg.vision.image_size)
     tok = make_verifier_tokenizer(vcfg.text.vocab_size)
 
+    val_batch = None
+    if t.val_every:
+        ds, val_ds = ds.split(t.val_fraction, seed=t.seed)
+        val_batch = next(val_ds.batches(
+            min(t.batch_size, len(val_ds)), tok, vcfg.text.context_length,
+            seed=0))
+        val_batch.pop("instructions")
+
     tx = make_adamw(linear_warmup(t.lr, t.warmup_steps))
     backbone, state = train_verifier.init_train_state(
-        jax.random.PRNGKey(t.seed), vcfg, tx, num_members=1)
-    step_fn = train_verifier.make_train_step(vcfg, tx, member_idx=0)
+        jax.random.PRNGKey(t.seed), vcfg, tx, num_members=t.num_members)
+    step_fn = train_verifier.make_ensemble_train_step(vcfg, tx)
+    sinks = make_sinks(
+        jsonl_path=t.metrics_jsonl or os.path.join(t.checkpoint_dir,
+                                                   "metrics.jsonl"),
+        wandb_project=t.wandb_project or None)
 
-    i = 0
+    start = 0
+    if t.resume:
+        payload = {"members": state.members, "opt_state": state.opt_state,
+                   "backbone": backbone}
+        payload, start = checkpoints.restore_train_state(
+            t.checkpoint_dir, payload)
+        state = train_verifier.VerifierTrainState(
+            payload["members"], payload["opt_state"], state.step)
+        backbone = payload["backbone"]
+        log.info("resumed from step %d", start)
+
+    def save(step_i):
+        checkpoints.save_train_state(
+            t.checkpoint_dir, step_i,
+            {"members": state.members, "opt_state": state.opt_state,
+             "backbone": backbone}, keep_last=t.keep_last)
+
+    best_top1 = -1.0
+    i = start
     while i < t.num_steps:
         for batch in ds.batches(t.batch_size, tok,
                                 vcfg.text.context_length, seed=t.seed + i):
             batch.pop("instructions")
             state, metrics = step_fn(state, backbone, batch)
             if i % 10 == 0:
-                log.info("step %d loss %.4f top1 %.3f", i,
-                         float(metrics["loss"]),
-                         float(metrics["top1_i2a"]))
+                m = aggregate_metrics(
+                    {k: float(v) for k, v in metrics.items()
+                     if getattr(v, "ndim", 0) == 0})
+                sinks.log(m, step=i)
+                log.info("step %d loss %.4f top1 %.3f", i, m["loss"],
+                         m["top1_i2a"])
             i += 1
+            if t.val_every and val_batch is not None \
+                    and i % t.val_every == 0:
+                val = train_verifier.ensemble_eval_metrics(
+                    state.members, vcfg, backbone, val_batch)
+                val = aggregate_metrics(
+                    {k: float(v) for k, v in val.items()})
+                sinks.log({f"val/{k}": v for k, v in val.items()}, step=i)
+                log.info("step %d val top1 %.3f", i, val["top1_i2a"])
+                save(i)
+                if val["top1_i2a"] > best_top1:
+                    best_top1 = val["top1_i2a"]
+                    checkpoints.save_params(
+                        os.path.join(t.checkpoint_dir, "best"),
+                        {"members": state.members, "backbone": backbone})
             if i >= t.num_steps:
                 break
-    checkpoints.save_train_state(t.checkpoint_dir, t.num_steps,
-                                 {"members": state.members,
-                                  "backbone": backbone},
-                                 keep_last=t.keep_last)
+    save(t.num_steps)
+    # merged-ensemble export in the reference schema
+    # (efficient_ensemble_merged.py:36-53); round-trips through
+    # convert.verifier_from_torch.convert_merged_checkpoint
+    try:
+        from cover_vla_tpu.convert.verifier_to_torch import (
+            save_merged_ensemble)
+        save_merged_ensemble(
+            os.path.join(t.checkpoint_dir, "merged_ensemble.pt"),
+            state.members, vcfg)
+        log.info("exported merged ensemble (%d members)", t.num_members)
+    except ImportError:
+        log.warning("torch unavailable: merged-ensemble export skipped")
+    sinks.close()
     log.info("done")
 
 

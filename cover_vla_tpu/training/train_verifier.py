@@ -88,6 +88,53 @@ def make_train_step(cfg: VerifierConfig, tx: optax.GradientTransformation,
     return jax.jit(step)
 
 
+def make_ensemble_train_step(cfg: VerifierConfig,
+                             tx: optax.GradientTransformation):
+    """Jitted step updating ALL members at once (vmapped member axis; the
+    reference trains members as separate seeded runs and merges —
+    finetune...py:1500-1519 + efficient_ensemble_merged.py:36-53; here
+    member diversity comes from independent initialisations while the MXU
+    batches the K head stacks in one pass)."""
+
+    def step(state: VerifierTrainState, backbone, batch):
+        feats = verifier.extract_features(
+            {"backbone": backbone}, cfg, batch["images"],
+            batch["text_tokens"])
+        feats = jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
+
+        def loss_fn(members):
+            losses, metrics = jax.vmap(
+                lambda m: info_nce_loss(m, cfg, feats,
+                                        batch["action_histories"]))(members)
+            return losses.mean(), metrics
+
+        (loss, per_member), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.members)
+        metrics = {k: v.mean() for k, v in per_member.items()}
+        metrics["member_loss"] = per_member["loss"]
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.members)
+        members = optax.apply_updates(state.members, updates)
+        return VerifierTrainState(members, opt_state, state.step + 1), metrics
+
+    return jax.jit(step)
+
+
+def ensemble_eval_metrics(members, cfg: VerifierConfig, backbone,
+                          batch) -> Dict[str, jax.Array]:
+    """Validation retrieval metrics averaged over members (the reference's
+    in-training retrieval accuracy, finetune...py:446-469)."""
+    feats = verifier.extract_features(
+        {"backbone": backbone}, cfg, batch["images"], batch["text_tokens"])
+
+    def one(m):
+        _, metrics = info_nce_loss(m, cfg, feats, batch["action_histories"])
+        return metrics
+
+    per_member = jax.vmap(one)(members)
+    return {k: v.mean() for k, v in per_member.items()}
+
+
 def init_train_state(key, cfg: VerifierConfig, tx,
                      num_members: int = 1) -> Tuple[Any, VerifierTrainState]:
     """Returns (frozen backbone params, trainable state)."""
