@@ -42,7 +42,8 @@ from cover_vla_tpu.configs import Pi0Config, VerifierConfig, CoVerConfig
 from cover_vla_tpu.data.stats import DatasetStatistics
 from cover_vla_tpu.models import pi0, verifier
 from cover_vla_tpu.ops.image import (
-    resize_lanczos4, resize_bicubic_pil, resize_bilinear_torch)
+    resize_bicubic_pil, resize_bilinear_tf_antialias,
+    resize_lanczos4_uint8_device)
 from cover_vla_tpu.utils.geometry import euler_to_rotvec
 
 Params = Dict[str, Any]
@@ -60,21 +61,23 @@ class VerifiedStepResult(NamedTuple):
 
 def _policy_image(raw_u8: jax.Array, size: int) -> jax.Array:
     """Raw uint8 frame -> policy input, matching the host adapter chain
-    cv2-LANCZOS4-resize(uint8) -> /255 -> (x-.5)/.5 (simpler.py:43-65)."""
-    x = resize_lanczos4(raw_u8.astype(jnp.float32)[None], size, size)[0]
-    x = jnp.clip(jnp.round(x), 0, 255)       # cv2 returns uint8: round+clip
+    cv2-LANCZOS4-resize(uint8) -> /255 -> (x-.5)/.5 (simpler.py:43-65).
+    The resize is cv2's 8-bit fixed-point path, reproduced bit-exactly
+    on-device (int32 taps + rounding shift + saturation)."""
+    x = resize_lanczos4_uint8_device(raw_u8, size, size).astype(jnp.float32)
     return (x / 255.0 - 0.5) / 0.5
 
 
 def _verifier_image(raw_u8: jax.Array, size: int) -> jax.Array:
-    """Raw uint8 frame -> verifier input: TF-bilinear 256 (if needed) ->
-    open_clip bicubic resize -> mean/std 0.5. The reference additionally
-    JPEG-roundtrips the 256px frame (process_raw_image_to_jpg,
-    eval_utils.py:228-286); compression artifacts are intentionally not
-    reproduced on-device."""
+    """Raw uint8 frame -> verifier input, matching the reference chain
+    exactly (process_raw_image_to_jpg, eval_utils.py:228-286: despite the
+    name there is no JPEG encode — it is tf.image.resize BILINEAR
+    antialias=True to 256 + a truncating uint8 cast), then the open_clip
+    PIL-bicubic resize + mean/std 0.5 normalisation."""
     x = raw_u8.astype(jnp.float32)[None]
     if x.shape[1] != 256 or x.shape[2] != 256:
-        x = resize_bilinear_torch(x, 256, 256)
+        x = resize_bilinear_tf_antialias(x, 256, 256)
+        x = jnp.clip(jnp.floor(x), 0, 255)   # tf.cast(float32, uint8)
     x = resize_bicubic_pil(x, size, size)
     return ((x / 255.0) - 0.5) / 0.5
 

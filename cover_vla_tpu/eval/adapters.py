@@ -21,19 +21,14 @@ import numpy as np
 from cover_vla_tpu.data.stats import (
     DatasetStatistics, normalize_bound, denormalize_bound,
     normalize_gaussian, denormalize_gaussian, BRIDGE_STATS_PATH)
-from cover_vla_tpu.ops.image import _lanczos4_matrix
+from cover_vla_tpu.ops.image import resize_lanczos4_uint8
 from cover_vla_tpu.utils.geometry import quat2mat, mat2euler, euler2axangle
 
 
 def lanczos4_resize_uint8(img: np.ndarray, height: int, width: int) -> np.ndarray:
-    """cv2.resize(..., INTER_LANCZOS4) on uint8: float filter + round + clip."""
-    src_h, src_w = img.shape[:2]
-    x = img.astype(np.float32)
-    if src_h != height:
-        x = np.einsum("hs,swc->hwc", _lanczos4_matrix(src_h, height), x)
-    if src_w != width:
-        x = np.einsum("ws,hsc->hwc", _lanczos4_matrix(src_w, width), x)
-    return np.clip(np.round(x), 0, 255).astype(np.uint8)
+    """cv2.resize(..., INTER_LANCZOS4) on uint8, bit-exact (fixed-point
+    path of imgproc/resize.cpp — see ops.image._lanczos4_fixed_tables)."""
+    return resize_lanczos4_uint8(img, height, width)
 
 
 class BaseEnvAdapter:

@@ -102,6 +102,114 @@ def _bicubic_matrix(src: int, dst: int) -> np.ndarray:
     return m.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def _lanczos4_fixed_tables(src: int, dst: int):
+    """cv2's fixed-point INTER_LANCZOS4 tap tables for 8-bit images:
+    (indices int32[dst, 8], coefficients int32[dst, 8] at scale 2048).
+
+    Reproduces imgproc/resize.cpp bit-for-bit: the source coordinate is
+    computed in double then cast to float32; per-tap kernel values are
+    evaluated in double via the sin/cos quadrant table, cast to float32,
+    normalised in float32, and quantised with round-half-to-even at
+    INTER_RESIZE_COEF_SCALE=2048. Border taps clamp to the edge.
+    """
+    scale = src / dst
+    x = np.arange(dst)
+    fxx = ((x + 0.5) * scale - 0.5).astype(np.float32)
+    sx = np.floor(fxx).astype(np.int64)
+    fx = (fxx - sx).astype(np.float32)
+
+    s45 = 0.70710678118654752440084436210485
+    cs = np.array([[1, 0], [-s45, -s45], [0, 1], [s45, -s45],
+                   [-1, 0], [s45, s45], [0, -1], [-s45, s45]])
+    fx64 = fx.astype(np.float64)
+    y0 = -(fx64 + 3) * np.pi * 0.25
+    s0, c0 = np.sin(y0), np.cos(y0)
+    coeffs = np.zeros((dst, 8), np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for k in range(8):
+            y = -(fx64 + 3 - k) * np.pi * 0.25
+            coeffs[:, k] = ((cs[k, 0] * s0 + cs[k, 1] * c0)
+                            / (y * y)).astype(np.float32)
+    ssum = coeffs.sum(axis=1, dtype=np.float32)
+    with np.errstate(invalid="ignore"):  # small-fx rows overwritten below
+        coeffs = (coeffs * (np.float32(1.0) / ssum)[:, None]
+                  ).astype(np.float32)
+    small = fx < np.finfo(np.float32).eps
+    coeffs[small] = 0.0
+    coeffs[small, 3] = 1.0
+    quant = np.rint((coeffs * np.float32(2048.0)
+                     ).astype(np.float64)).astype(np.int32)
+    idx = np.clip(sx[:, None] + np.arange(8)[None, :] - 3,
+                  0, src - 1).astype(np.int32)
+    return idx, quant
+
+
+def resize_lanczos4_uint8(img: np.ndarray, height: int,
+                          width: int) -> np.ndarray:
+    """Host (numpy) cv2.resize(uint8, INTER_LANCZOS4) — bit-exact: same
+    fixed-point coefficients, int accumulation, rounding shift and
+    saturation as cv2's 8-bit path. img: uint8[H, W, C]."""
+    h, w = img.shape[:2]
+    if (h, w) == (height, width):
+        return img
+    xi, xc = _lanczos4_fixed_tables(w, width)
+    yi, yc = _lanczos4_fixed_tables(h, height)
+    src = img.astype(np.int64)
+    tmp = (src[:, xi, :] * xc[None, :, :, None]).sum(2)      # [h, W', C]
+    acc = (tmp[yi, :, :] * yc[:, :, None, None]).sum(1)      # [H', W', C]
+    out = (acc + (1 << 21)) >> 22
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def resize_lanczos4_uint8_device(img: jax.Array, height: int,
+                                 width: int) -> jax.Array:
+    """On-device twin of `resize_lanczos4_uint8` (same fixed-point math in
+    int32, so the jitted observation path matches the host adapter — and
+    cv2 — bit-for-bit). img: uint8[H, W, C] -> uint8[height, width, C]."""
+    h, w = img.shape[:2]
+    if (h, w) == (height, width):
+        return img
+    xi, xc = _lanczos4_fixed_tables(w, width)
+    yi, yc = _lanczos4_fixed_tables(h, height)
+    src = img.astype(jnp.int32)
+    tmp = jnp.sum(src[:, xi, :] * jnp.asarray(xc)[None, :, :, None], axis=2)
+    acc = jnp.sum(tmp[yi, :, :] * jnp.asarray(yc)[:, :, None, None], axis=1)
+    out = jnp.right_shift(acc + (1 << 21), 22)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=64)
+def _bilinear_antialias_tf_matrix(src: int, dst: int) -> np.ndarray:
+    """[dst, src] matrix for tf.image.resize(method=BILINEAR,
+    antialias=True): triangle kernel whose support scales with the
+    downscale factor; out-of-range taps dropped and weights renormalised
+    (used by the reference's verifier-image prep, eval_utils.py:228-286)."""
+    scale = src / dst
+    kscale = max(1.0, scale)
+    coords = (np.arange(dst, dtype=np.float64) + 0.5) * scale - 0.5
+    m = np.zeros((dst, src), dtype=np.float64)
+    for i, c in enumerate(coords):
+        lo = int(np.floor(c - kscale)) + 1
+        hi = int(np.ceil(c + kscale))
+        taps = np.arange(lo, hi + 1)
+        w = np.maximum(0.0, 1.0 - np.abs((taps - c) / kscale))
+        valid = (taps >= 0) & (taps < src)
+        w = np.where(valid, w, 0.0)
+        s = w.sum()
+        if s > 0:
+            w = w / s
+        for t, wt in zip(taps[valid], w[valid]):
+            m[i, t] += wt
+    return m.astype(np.float32)
+
+
+def resize_bilinear_tf_antialias(img: jax.Array, height: int,
+                                 width: int) -> jax.Array:
+    """tf.image.resize(..., BILINEAR, antialias=True) equivalent."""
+    return _separable_resize(img, height, width, _bilinear_antialias_tf_matrix)
+
+
 def _separable_resize(img: jax.Array, h: int, w: int, matrix_fn,
                       clip_range=None) -> jax.Array:
     """Apply row/col interpolation matrices. img: [B, H, W, C] float.

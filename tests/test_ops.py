@@ -213,3 +213,81 @@ def test_fast_math_toggle():
         np.testing.assert_allclose(fast, exact, rtol=1e-2, atol=1e-2)
     finally:
         att.set_fast_math(False)
+
+
+def test_lanczos4_uint8_bitexact_cv2():
+    """Our fixed-point LANCZOS4 == cv2.resize(uint8, INTER_LANCZOS4)
+    bit-for-bit, host and device paths (VERDICT weak #4 oracle)."""
+    cv2 = pytest.importorskip("cv2")
+    from cover_vla_tpu.ops.image import (
+        resize_lanczos4_uint8, resize_lanczos4_uint8_device)
+    rng = np.random.default_rng(0)
+    cases = [(256, 256, 224, 224), (480, 640, 224, 224),
+             (100, 80, 224, 224), (64, 64, 128, 128), (37, 53, 224, 224)]
+    for h, w, oh, ow in cases:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        ref = cv2.resize(img, (ow, oh), interpolation=cv2.INTER_LANCZOS4)
+        np.testing.assert_array_equal(
+            resize_lanczos4_uint8(img, oh, ow), ref, err_msg=f"host {h}x{w}")
+        np.testing.assert_array_equal(
+            np.asarray(resize_lanczos4_uint8_device(jnp.asarray(img),
+                                                    oh, ow)),
+            ref, err_msg=f"device {h}x{w}")
+    # smooth content too (saturation path unexercised by pure noise)
+    yy, xx = np.mgrid[0:300, 0:400]
+    img = ((np.sin(yy / 9) + np.cos(xx / 13)) * 60 + 120).astype(np.uint8)
+    img = img[..., None].repeat(3, -1)
+    ref = cv2.resize(img, (224, 224), interpolation=cv2.INTER_LANCZOS4)
+    np.testing.assert_array_equal(resize_lanczos4_uint8(img, 224, 224), ref)
+
+
+def test_lanczos4_float_matches_cv2_float():
+    """Float-path resize_lanczos4 vs cv2's float32 LANCZOS4 (the geometry /
+    kernel oracle; small fp accumulation differences only)."""
+    cv2 = pytest.importorskip("cv2")
+    from cover_vla_tpu.ops.image import resize_lanczos4
+    rng = np.random.default_rng(1)
+    for h, w, oh, ow in [(256, 256, 224, 224), (480, 640, 224, 224),
+                         (64, 64, 128, 128)]:
+        img = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+        ours = np.asarray(resize_lanczos4(img[None], oh, ow))[0]
+        ref = cv2.resize(img, (ow, oh), interpolation=cv2.INTER_LANCZOS4)
+        np.testing.assert_allclose(ours, ref, atol=0.05)
+
+
+def test_bilinear_tf_antialias_oracle():
+    """resize_bilinear_tf_antialias == tf.image.resize(BILINEAR,
+    antialias=True) — the reference's verifier 256px prep
+    (eval_utils.py:272-281)."""
+    tf = pytest.importorskip("tensorflow")
+    from cover_vla_tpu.ops.image import resize_bilinear_tf_antialias
+    rng = np.random.default_rng(2)
+    for h, w, oh, ow in [(480, 640, 256, 256), (512, 512, 256, 256),
+                         (128, 128, 256, 256), (300, 200, 256, 256)]:
+        img = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+        ours = np.asarray(resize_bilinear_tf_antialias(img[None], oh, ow))[0]
+        ref = tf.image.resize(img, (oh, ow), method="bilinear",
+                              antialias=True).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-2, rtol=1e-4)
+
+
+def test_verifier_image_chain_matches_reference_host_chain():
+    """Device _verifier_image == host composition of the reference chain:
+    tf bilinear-antialias 256 -> truncating uint8 cast -> PIL bicubic ->
+    (x/255 - .5)/.5 (process_raw_image_to_jpg + open_clip transform)."""
+    tf = pytest.importorskip("tensorflow")
+    from PIL import Image
+    from cover_vla_tpu.engine.verified_step import _verifier_image
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, (480, 640, 3)).astype(np.uint8)
+    size = 64  # tiny verifier input size
+
+    r256 = tf.image.resize(raw.astype(np.float32), (256, 256),
+                           method="bilinear", antialias=True)
+    r256 = tf.cast(r256, tf.uint8).numpy()
+    pil = Image.fromarray(r256).resize((size, size), Image.BICUBIC)
+    ref = ((np.asarray(pil).astype(np.float32) / 255.0) - 0.5) / 0.5
+
+    ours = np.asarray(_verifier_image(jnp.asarray(raw), size))[0]
+    assert np.abs(ours - ref).max() < 0.02  # off-by-one uint8 at pass edges
+    assert np.abs(ours - ref).mean() < 2e-3
