@@ -148,6 +148,146 @@ class FastActionTokenizer:
         return np.stack(out)
 
 
+class HubFastProcessor:
+    """FAST processor backed by a saved hub artifact directory.
+
+    The published "physical-intelligence/fast" artifact
+    (modeling_pi0fast.py:403-407) is an HF processor repo containing a
+    trained BPE vocabulary (`tokenizer.json`, HF `tokenizers` format) plus
+    a processor config with the DCT quantisation parameters. This loader
+    reads that saved format from DISK (no hub access): quantised DCT
+    coefficients are mapped to a unicode alphabet
+    (chr(alphabet_offset + v - min_token)) and encoded with the artifact's
+    BPE; decode inverts exactly. `save_artifact` writes the same layout for
+    fixtures / locally trained vocabularies.
+
+    Config keys honoured (processor_config.json, falling back to
+    tokenizer_config.json): scale, min_token, max_token, alphabet_offset,
+    time_horizon, action_dim.
+    """
+
+    CONFIG_FILES = ("processor_config.json", "tokenizer_config.json")
+
+    def __init__(self, bpe, scale: float = 10.0, min_token: int = -128,
+                 max_token: int = 127, alphabet_offset: int = 0x100,
+                 time_horizon: Optional[int] = None,
+                 action_dim: Optional[int] = None):
+        self.bpe = bpe                      # tokenizers.Tokenizer
+        self.scale = scale
+        self.min_token = min_token
+        self.max_token = max_token
+        self.alphabet_offset = alphabet_offset
+        self.time_horizon = time_horizon
+        self.action_dim = action_dim
+
+    # -- artifact IO --------------------------------------------------------
+
+    @classmethod
+    def from_artifact(cls, path: str) -> "HubFastProcessor":
+        import json
+        import os
+        from tokenizers import Tokenizer as HFTok
+        cfg = {}
+        for name in cls.CONFIG_FILES:
+            p = os.path.join(path, name)
+            if os.path.exists(p):
+                with open(p) as f:
+                    cfg.update({k: v for k, v in json.load(f).items()
+                                if k in ("scale", "min_token", "max_token",
+                                         "alphabet_offset", "time_horizon",
+                                         "action_dim")})
+        bpe = HFTok.from_file(os.path.join(path, "tokenizer.json"))
+        return cls(bpe, **cfg)
+
+    def save_artifact(self, path: str) -> None:
+        import json
+        import os
+        os.makedirs(path, exist_ok=True)
+        self.bpe.save(os.path.join(path, "tokenizer.json"))
+        with open(os.path.join(path, "processor_config.json"), "w") as f:
+            json.dump({"scale": self.scale, "min_token": self.min_token,
+                       "max_token": self.max_token,
+                       "alphabet_offset": self.alphabet_offset,
+                       "time_horizon": self.time_horizon,
+                       "action_dim": self.action_dim}, f)
+
+    @classmethod
+    def train(cls, action_corpus: np.ndarray, vocab_size: int = 1024,
+              scale: float = 10.0, min_token: int = -128,
+              max_token: int = 127) -> "HubFastProcessor":
+        """Train a BPE vocabulary over a corpus of normalised action chunks
+        [N, T, D] (the artifact-production path)."""
+        from tokenizers import Tokenizer as HFTok
+        from tokenizers.models import BPE
+        from tokenizers.trainers import BpeTrainer
+        proc = cls(None, scale=scale, min_token=min_token,
+                   max_token=max_token,
+                   time_horizon=action_corpus.shape[1],
+                   action_dim=action_corpus.shape[2])
+        texts = [proc._ints_to_text(s) for s in proc._quantize(action_corpus)]
+        alphabet = [chr(proc.alphabet_offset + i)
+                    for i in range(max_token - min_token + 1)]
+        tok = HFTok(BPE(unk_token=None))
+        trainer = BpeTrainer(vocab_size=vocab_size, initial_alphabet=alphabet,
+                             special_tokens=[], show_progress=False)
+        tok.train_from_iterator(texts, trainer)
+        proc.bpe = tok
+        return proc
+
+    # -- the DCT <-> token pipeline -----------------------------------------
+
+    def _quantize(self, actions: np.ndarray) -> np.ndarray:
+        coeff = dct(np.asarray(actions, np.float64), axis=1,
+                    norm="ortho") * self.scale
+        return np.clip(np.round(coeff), self.min_token,
+                       self.max_token).astype(np.int64)
+
+    def _ints_to_text(self, grid: np.ndarray) -> str:
+        return "".join(chr(self.alphabet_offset + int(v) - self.min_token)
+                       for v in grid.reshape(-1))
+
+    def _text_to_ints(self, text: str) -> np.ndarray:
+        return np.asarray(
+            [ord(c) - self.alphabet_offset + self.min_token for c in text],
+            np.float64)
+
+    def __call__(self, actions: np.ndarray) -> List[List[int]]:
+        """Normalised [B, T, D] actions -> BPE token id lists (the
+        fast_tokenizer_wrapper input contract, modeling_pi0fast.py:550)."""
+        actions = np.asarray(actions)
+        self.time_horizon, self.action_dim = actions.shape[1:3]
+        return [self.bpe.encode(self._ints_to_text(g)).ids
+                for g in self._quantize(actions)]
+
+    encode = __call__
+
+    def decode(self, tokens: Sequence[Sequence[int]],
+               time_horizon: Optional[int] = None,
+               action_dim: Optional[int] = None) -> np.ndarray:
+        """Relaxed decode (truncate/pad to T*D) -> IDCT, like
+        decode_actions_with_fast (modeling_pi0fast.py:753-809)."""
+        t = time_horizon or self.time_horizon
+        d = action_dim or self.action_dim
+        out = []
+        for tok in tokens:
+            # join token strings directly (Tokenizer.decode would insert
+            # spaces without a configured decoder)
+            text = "".join(self.bpe.id_to_token(int(i)) for i in tok)
+            coeff = self._text_to_ints(text)
+            expected = t * d
+            if coeff.shape[0] > expected:
+                coeff = coeff[:expected]
+            elif coeff.shape[0] < expected:
+                coeff = np.pad(coeff, (0, expected - coeff.shape[0]))
+            out.append(idct(coeff.reshape(t, d) / self.scale,
+                            axis=0, norm="ortho"))
+        return np.stack(out)
+
+    @property
+    def vocab_size(self) -> int:
+        return self.bpe.get_vocab_size()
+
+
 def normalize_actions_minmax(actions: np.ndarray) -> np.ndarray:
     """Per-sample min-max to [-1,1] (modeling_pi0fast.py:540-543)."""
     mins = actions.min(axis=(1, 2), keepdims=True)

@@ -82,11 +82,57 @@ class HFTokenizer:
                 out["attention_mask"].astype(bool))
 
 
+class FileTokenizer:
+    """Real-vocabulary tokenizer from a bare `tokenizer.json` file
+    (HF `tokenizers` serialization) — the offline path for PaliGemma /
+    SigLIP2 vocabularies when the artifact file is on disk but no full
+    transformers config dir exists.
+
+    Reproduces the pi0 prompt semantics (modeling_pi0.py:389-409): optional
+    BOS, trailing '\\n', right padding to max_length with a pad mask.
+    """
+
+    def __init__(self, path: str, append_newline: bool = True,
+                 add_bos: bool = True, bos_id: int = 2, pad_id: int = 0):
+        from tokenizers import Tokenizer as HFTok
+        self.tok = HFTok.from_file(path)
+        self.append_newline = append_newline
+        self.add_bos = add_bos
+        self.bos_id = bos_id
+        self.pad_id = pad_id
+        self.vocab_size = self.tok.get_vocab_size()
+
+    def encode_batch(self, texts: Sequence[str], max_length: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.append_newline:
+            texts = [t if t.endswith("\n") else f"{t}\n" for t in texts]
+        encs = self.tok.encode_batch(list(texts))
+        tokens = np.full((len(texts), max_length), self.pad_id, np.int32)
+        mask = np.zeros((len(texts), max_length), bool)
+        for i, e in enumerate(encs):
+            ids = ([self.bos_id] if self.add_bos else []) + list(e.ids)
+            ids = ids[:max_length]
+            tokens[i, :len(ids)] = ids
+            mask[i, :len(ids)] = True
+        return tokens, mask
+
+
+def _file_or_hf(path: str, **kw) -> Tokenizer:
+    import os
+    if path.endswith(".json") and os.path.exists(path):
+        return FileTokenizer(path, **kw)
+    if os.path.isdir(path) and os.path.exists(
+            os.path.join(path, "tokenizer.json")) and not os.path.exists(
+            os.path.join(path, "tokenizer_config.json")):
+        return FileTokenizer(os.path.join(path, "tokenizer.json"), **kw)
+    return HFTokenizer(path, append_newline=kw.get("append_newline", True))
+
+
 def make_policy_tokenizer(vocab_size: int,
                           hf_path: str = "google/paligemma-3b-pt-224"
                           ) -> Tokenizer:
     try:
-        return HFTokenizer(hf_path)
+        return _file_or_hf(hf_path)
     except Exception:
         return HashTokenizer(vocab_size)
 
@@ -95,7 +141,7 @@ def make_verifier_tokenizer(vocab_size: int, hf_path: str | None = None
                             ) -> Tokenizer:
     if hf_path:
         try:
-            return HFTokenizer(hf_path, append_newline=False)
+            return _file_or_hf(hf_path, append_newline=False, add_bos=False)
         except Exception:
             pass
     return HashTokenizer(vocab_size, add_bos=False)

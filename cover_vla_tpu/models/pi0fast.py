@@ -181,7 +181,9 @@ class Pi0FastPolicy:
 
     def __init__(self, params: Params, cfg: Pi0FastConfig,
                  text_tokenizer: Optional[Tokenizer] = None,
-                 fast_tokenizer: Optional[FastActionTokenizer] = None,
+                 fast_tokenizer=None,  # FastActionTokenizer or a
+                 # data.fast_tokenizer.HubFastProcessor loaded from the
+                 # saved hub artifact (HubFastProcessor.from_artifact)
                  action_dim: int = 7):
         self.params = params
         self.cfg = cfg
