@@ -67,6 +67,8 @@ class CoVerEngine:
         self._history_len = 0
         self._exec_queue: List[np.ndarray] = []
         self._verif_queue: List[np.ndarray] = []
+        self._raw_grip_queue: List[float] = []
+        self.last_raw_gripper: float = 1.0  # raw [0,1] gripper of the tick
         self.records: List[StepRecord] = []
 
     def _prompts(self) -> List[str]:
@@ -109,8 +111,12 @@ class CoVerEngine:
 
             exec_chunk = np.asarray(res.exec_chunk)
             verif_chunk = np.asarray(res.verifier_chunk)
+            raw_grip = np.asarray(res.raw_gripper)
             self._exec_queue = [exec_chunk[i] for i in range(1, chunk)]
             self._verif_queue = [verif_chunk[i] for i in range(1, chunk)]
+            self._raw_grip_queue = [float(raw_grip[i])
+                                    for i in range(1, chunk)]
+            self.last_raw_gripper = float(raw_grip[0])
 
             winner_group = int(res.winner_group)
             used_stage2 = bool(res.used_stage2)
@@ -125,6 +131,7 @@ class CoVerEngine:
             action = exec_chunk[0]
         else:
             action = self._exec_queue.pop(0)
+            self.last_raw_gripper = self._raw_grip_queue.pop(0)
             self._push_history(self._verif_queue.pop(0))
         self._tick += 1
         return np.asarray(action)

@@ -57,6 +57,10 @@ class VerifiedStepResult(NamedTuple):
     max_score: jax.Array       # fp32 — winning cosine similarity
     used_stage2: jax.Array     # bool — stage-2 rescore was taken
     scores: jax.Array          # [K*N] all candidate scores (diagnostics)
+    raw_gripper: jax.Array     # [chunk] winner's raw [0,1] gripper output
+    #                            (fractal sticky-gripper postprocessing
+    #                             needs the pre-binarised value,
+    #                             simpler.py:427-459)
 
 
 def _policy_image(raw_u8: jax.Array, size: int) -> jax.Array:
@@ -180,7 +184,8 @@ def _build_step(pcfg: Pi0Config, vcfg: VerifierConfig,
             exec_chunk=exec_chunk, verifier_chunk=verifier_chunk,
             winner_idx=winner.astype(jnp.int32),
             winner_group=winner_group.astype(jnp.int32),
-            max_score=max_score, used_stage2=used_stage2, scores=scores)
+            max_score=max_score, used_stage2=used_stage2, scores=scores,
+            raw_gripper=grip[winner, :, 0])
 
     return step
 

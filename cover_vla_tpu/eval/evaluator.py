@@ -61,10 +61,21 @@ class CoVerEvaluator:
         self.tasks = bench.tasks
         self.env_fn = env_fn or bench.make
         self.adapter = BridgeSimplerAdapter()
+        # google-robot (fractal) tasks use the EDR euler adapter with the
+        # Octo-style sticky gripper (simpler.py:394-526)
+        from cover_vla_tpu.eval.fractal_adapters import EDREulerSimplerAdapter
+        self._fractal_adapter = EDREulerSimplerAdapter(stats=self.adapter.stats)
+
+    def _task_adapter(self, task: str):
+        return (self._fractal_adapter if task.startswith("google_robot")
+                else self.adapter)
 
     def run_episode(self, env, task: str, trial: int, seed: int
                     ) -> EpisodeResult:
         t0 = time.time()
+        adapter = self._task_adapter(task)
+        is_fractal = adapter is self._fractal_adapter
+        adapter.reset()
         obs, _ = env.reset(seed=seed)
         instruction = env.get_language_instruction() \
             if hasattr(env, "get_language_instruction") \
@@ -82,9 +93,16 @@ class CoVerEvaluator:
             raw_img = get_image_from_obs_dict(env, obs)
             if frames is not None:
                 frames.append(raw_img)
-            proprio = self.adapter.preprocess_proprio(
+            proprio = adapter.preprocess_proprio(
                 {"agent": obs["agent"]})
             action = self.engine.step(raw_img, proprio.astype(np.float32))
+            if is_fractal:
+                # sticky-gripper postprocess on the winner's RAW [0,1]
+                # gripper (simpler.py:427-459); the on-device binarise/vote
+                # is the WidowX convention only
+                action = np.asarray(action).copy()
+                action[6] = adapter.postprocess_gripper(
+                    self.engine.last_raw_gripper)
             obs, reward, done, trunc, info = env.step(action)
             stats = info.get("episode_stats", {})
             t += 1

@@ -18,19 +18,67 @@ import numpy as np
 
 from cover_vla_tpu.eval.benchmark import TASK_INSTRUCTIONS
 
-# reference env-name -> ManiSkill2 env id mapping (simpler_env/__init__.py)
-SIMPLER_ENV_IDS: Dict[str, str] = {
-    "widowx_carrot_on_plate": "PutCarrotOnPlateInScene-v0",
-    "widowx_put_eggplant_in_basket": "PutEggplantInBasketScene-v0",
-    "widowx_spoon_on_towel": "PutSpoonOnTableClothInScene-v0",
-    "widowx_stack_cube": "StackGreenCubeOnYellowCubeBakedTexInScene-v0",
-    "widowx_redbull_on_plate": "PutRedbullOnPlateInScene-v0",
-    "widowx_zucchini_on_towel": "PutZucchiniOnTableClothInScene-v0",
-    "widowx_tennis_ball_in_basket": "PutTennisBallInBasketScene-v0",
-    "widowx_toy_dinosaur_on_towel": "PutToyDinosaurOnTableClothInScene-v0",
-    "widowx_carrot_on_plate_unseen_lighting":
-        "PutCarrotOnPlateInSceneUnseenLighting-v0",
+# The COMPLETE reference registry: env name -> (ManiSkill2 env id, kwargs)
+# (simpler_env/__init__.py:43-91) — google-robot pick/move/drawer/place
+# suites, the 4 WidowX ID tasks, and the 9 custom OOD scenes.
+ENVIRONMENT_MAP: Dict[str, tuple] = {
+    "google_robot_pick_coke_can": ("GraspSingleOpenedCokeCanInScene-v0", {}),
+    "google_robot_pick_horizontal_coke_can": (
+        "GraspSingleOpenedCokeCanInScene-v0", {"lr_switch": True}),
+    "google_robot_pick_vertical_coke_can": (
+        "GraspSingleOpenedCokeCanInScene-v0", {"laid_vertically": True}),
+    "google_robot_pick_standing_coke_can": (
+        "GraspSingleOpenedCokeCanInScene-v0", {"upright": True}),
+    "google_robot_pick_object": ("GraspSingleRandomObjectInScene-v0", {}),
+    "google_robot_move_near": ("MoveNearGoogleBakedTexInScene-v1", {}),
+    "google_robot_move_near_v0": ("MoveNearGoogleBakedTexInScene-v0", {}),
+    "google_robot_move_near_v1": ("MoveNearGoogleBakedTexInScene-v1", {}),
+    "google_robot_open_drawer": ("OpenDrawerCustomInScene-v0", {}),
+    "google_robot_open_top_drawer": ("OpenTopDrawerCustomInScene-v0", {}),
+    "google_robot_open_middle_drawer": (
+        "OpenMiddleDrawerCustomInScene-v0", {}),
+    "google_robot_open_bottom_drawer": (
+        "OpenBottomDrawerCustomInScene-v0", {}),
+    "google_robot_close_drawer": ("CloseDrawerCustomInScene-v0", {}),
+    "google_robot_close_top_drawer": ("CloseTopDrawerCustomInScene-v0", {}),
+    "google_robot_close_middle_drawer": (
+        "CloseMiddleDrawerCustomInScene-v0", {}),
+    "google_robot_close_bottom_drawer": (
+        "CloseBottomDrawerCustomInScene-v0", {}),
+    "google_robot_place_in_closed_drawer": (
+        "PlaceIntoClosedDrawerCustomInScene-v0", {}),
+    "google_robot_place_in_closed_top_drawer": (
+        "PlaceIntoClosedTopDrawerCustomInScene-v0", {}),
+    "google_robot_place_in_closed_middle_drawer": (
+        "PlaceIntoClosedMiddleDrawerCustomInScene-v0", {}),
+    "google_robot_place_in_closed_bottom_drawer": (
+        "PlaceIntoClosedBottomDrawerCustomInScene-v0", {}),
+    "google_robot_place_apple_in_closed_top_drawer": (
+        "PlaceIntoClosedTopDrawerCustomInScene-v0",
+        {"model_ids": "baked_apple_v2"}),
+    "widowx_spoon_on_towel": ("PutSpoonOnTableClothInScene-v0", {}),
+    "widowx_carrot_on_plate": ("PutCarrotOnPlateInScene-v0", {}),
+    "widowx_stack_cube": (
+        "StackGreenCubeOnYellowCubeBakedTexInScene-v0", {}),
+    "widowx_put_eggplant_in_basket": ("PutEggplantInBasketScene-v0", {}),
+    # custom OOD scenes
+    "widowx_carrot_on_plate_unseen_lighting": (
+        "PutCarrotOnPlateUnseenLighting", {}),
+    "widowx_spoon_on_towel_new_table_cloth": (
+        "PutSpoonOnTableClothInSceneNewTableCloth", {}),
+    "widowx_spoon_on_towel_google": ("PutSpoonOnTableClothInSceneGoogle", {}),
+    "widowx_redbull_on_plate": ("PutRedbullOnPlateInScene", {}),
+    "widowx_tennis_ball_in_basket": ("PutTennisBallInBasketScene", {}),
+    "widowx_zucchini_on_towel": ("PutZucchiniOnTableClothInScene", {}),
+    "widowx_tape_measure_in_basket": ("PutTapeMeasureInBasketScene-v0", {}),
+    "widowx_toy_dinosaur_on_towel": ("PutToyDinosaurOnTowelInScene", {}),
+    "widowx_stapler_on_paper": ("PutStaplerOnPaperInScene", {}),
 }
+
+ENVIRONMENTS = list(ENVIRONMENT_MAP)
+
+# name -> env id only (backward-compatible view)
+SIMPLER_ENV_IDS: Dict[str, str] = {k: v[0] for k, v in ENVIRONMENT_MAP.items()}
 
 
 def simpler_available() -> bool:
@@ -83,10 +131,23 @@ class SimplerEnvWrapper:
 
 
 def make_simpler_env(task_name: str, **kwargs):
-    """Build the REAL simpler env when installed, else the fake env."""
+    """Build the REAL simpler env when installed, else the fake env.
+
+    Mirrors simpler_env.make (simpler_env/__init__.py:94-108): the env id
+    and default kwargs come from ENVIRONMENT_MAP; explicit kwargs win."""
     if simpler_available():
         import simpler_env
         env = simpler_env.make(task_name, **kwargs)
         return SimplerEnvWrapper(env, task_name)
+    try:
+        # SIMPLER absent but ManiSkill2_real2sim importable: gym.make direct
+        import gymnasium as gym
+        import mani_skill2_real2sim.envs  # noqa: F401
+        env_id, default_kw = ENVIRONMENT_MAP[task_name]
+        env = gym.make(env_id, obs_mode="rgbd",
+                       **{**default_kw, **kwargs})
+        return SimplerEnvWrapper(env, task_name)
+    except ImportError:
+        pass
     from cover_vla_tpu.eval.fake_env import make_fake_env
     return make_fake_env(task_name, **kwargs)

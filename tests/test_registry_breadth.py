@@ -1,0 +1,107 @@
+"""Full SimplerEnv registry coverage: the 34-name environment map
+(simpler_env/__init__.py:5-91), google-robot suites wired to the EDR
+(fractal) adapters, and single-task suite synthesis (VERDICT item 10)."""
+
+import numpy as np
+import jax
+import pytest
+
+from cover_vla_tpu.eval.benchmark import (
+    BENCHMARK_MAPPING, TASK_INSTRUCTIONS, TASK_MAP, get_benchmark)
+from cover_vla_tpu.eval.simpler_integration import (
+    ENVIRONMENT_MAP, ENVIRONMENTS, SIMPLER_ENV_IDS)
+
+
+def test_environment_map_complete():
+    # the reference registry: 21 google-robot + 4 widowx ID + 9 custom OOD
+    google = [n for n in ENVIRONMENTS if n.startswith("google_robot")]
+    widowx = [n for n in ENVIRONMENTS if n.startswith("widowx")]
+    assert len(google) == 21
+    assert len(widowx) == 13
+    assert len(ENVIRONMENT_MAP) == 34
+    # spot-check ids + kwargs against simpler_env/__init__.py:43-91
+    assert ENVIRONMENT_MAP["google_robot_pick_horizontal_coke_can"] == (
+        "GraspSingleOpenedCokeCanInScene-v0", {"lr_switch": True})
+    assert ENVIRONMENT_MAP["google_robot_place_apple_in_closed_top_drawer"] \
+        == ("PlaceIntoClosedTopDrawerCustomInScene-v0",
+            {"model_ids": "baked_apple_v2"})
+    assert ENVIRONMENT_MAP["widowx_stack_cube"][0] == \
+        "StackGreenCubeOnYellowCubeBakedTexInScene-v0"
+    assert SIMPLER_ENV_IDS["widowx_redbull_on_plate"] == \
+        "PutRedbullOnPlateInScene"
+    # every env name has an instruction fallback for the fake env
+    for name in ENVIRONMENTS:
+        assert name in TASK_INSTRUCTIONS, name
+
+
+def test_google_suites_registered():
+    for suite in ("simpler_google_pick_coke_can", "simpler_google_move_near",
+                  "simpler_google_drawer", "simpler_google_place_in_drawer",
+                  "simpler_google_robot"):
+        bench = get_benchmark(suite)()
+        assert bench.n_tasks == len(TASK_MAP[suite]) > 0
+        assert all(t.startswith("google_robot") for t in bench.tasks)
+    assert get_benchmark("simpler_google_drawer")().n_tasks == 6
+
+
+def test_single_task_suite_synthesis():
+    bench = get_benchmark("google_robot_open_top_drawer")()
+    assert bench.tasks == ["google_robot_open_top_drawer"]
+    with pytest.raises(KeyError):
+        get_benchmark("not_a_real_suite")
+
+
+def test_fractal_adapter_selected_for_google_tasks():
+    from cover_vla_tpu.configs import (
+        CoVerConfig, tiny_pi0_config, tiny_verifier_config)
+    from cover_vla_tpu.engine import CoVerEngine
+    from cover_vla_tpu.eval.evaluator import CoVerEvaluator, EvalConfig
+    from cover_vla_tpu.eval.fractal_adapters import EDREulerSimplerAdapter
+    from cover_vla_tpu.models import pi0, verifier
+
+    pcfg = tiny_pi0_config()
+    vcfg = tiny_verifier_config()
+    ccfg = CoVerConfig(n_samples=2, n_rephrases=2)
+    pp = jax.jit(lambda k: pi0.init_pi0(k, pcfg))(jax.random.PRNGKey(0))
+    vp = jax.jit(lambda k: verifier.init_verifier(k, vcfg, 1))(
+        jax.random.PRNGKey(1))
+    engine = CoVerEngine(pp, vp, pcfg, vcfg, ccfg, seed=0)
+    ev = CoVerEvaluator(engine, EvalConfig(
+        task_suite="simpler_google_move_near", num_trials_per_task=1,
+        max_steps=6))
+    assert isinstance(ev._task_adapter("google_robot_move_near"),
+                      EDREulerSimplerAdapter)
+    assert ev._task_adapter("widowx_stack_cube") is ev.adapter
+
+    out = ev.evaluate()
+    assert out["summary"]["total_episodes"] == 1
+    # sticky-gripper postprocess emitted relative commands in {-1, 0, +1}
+    recs = out["episodes"]
+    assert len(recs) == 1
+
+
+def test_sticky_gripper_uses_raw_value():
+    """The engine exposes the winner's raw [0,1] gripper each tick (the
+    sticky logic thresholds the pre-binarised value, simpler.py:427-459)."""
+    from cover_vla_tpu.configs import (
+        CoVerConfig, tiny_pi0_config, tiny_verifier_config)
+    from cover_vla_tpu.engine import CoVerEngine
+    from cover_vla_tpu.models import pi0, verifier
+
+    pcfg = tiny_pi0_config()
+    vcfg = tiny_verifier_config()
+    ccfg = CoVerConfig(n_samples=2, n_rephrases=2)
+    pp = jax.jit(lambda k: pi0.init_pi0(k, pcfg))(jax.random.PRNGKey(0))
+    vp = jax.jit(lambda k: verifier.init_verifier(k, vcfg, 1))(
+        jax.random.PRNGKey(1))
+    engine = CoVerEngine(pp, vp, pcfg, vcfg, ccfg, seed=0)
+    engine.reset("pick coke can")
+    rng = np.random.default_rng(0)
+    raws = []
+    for t in range(pcfg.chunk_size + 1):
+        engine.step(rng.integers(0, 255, (64, 64, 3)).astype(np.uint8),
+                    rng.uniform(-0.1, 0.1, 7).astype(np.float32))
+        raws.append(engine.last_raw_gripper)
+    assert all(np.isfinite(r) for r in raws)
+    # raw values are NOT the binarised +-1 execution convention
+    assert any(abs(abs(r) - 1.0) > 1e-6 for r in raws)
