@@ -138,3 +138,67 @@ def test_run_train_role_tiny(tmp_path):
                   "--train.save_every", "1000"])
     from cover_vla_tpu.convert import checkpoints
     assert checkpoints.latest_checkpoint(str(ck_dir)) is not None
+
+
+def _write_rich_episode(out_dir, task, trial, success, stats=None,
+                        instructions=None):
+    os.makedirs(out_dir, exist_ok=True)
+    stem = (f"episode_{task}_trial{trial}_seed7_"
+            f"{'success' if success else 'failure'}")
+    with open(os.path.join(out_dir, stem + ".pkl"), "wb") as f:
+        pickle.dump({
+            "verifier_scores": [0.2, 0.3],
+            "episode_stats": stats or {},
+            "selected_instructions": instructions or [],
+        }, f)
+
+
+def test_analyze_partial_metric_breakdown(tmp_path):
+    d = str(tmp_path)
+    _write_rich_episode(d, "widowx_carrot_on_plate", 0, True,
+                        stats={"moved_correct_obj": True,
+                               "is_src_obj_grasped": True,
+                               "consecutive_grasp": True})
+    _write_rich_episode(d, "widowx_carrot_on_plate", 1, False,
+                        stats={"moved_correct_obj": False,
+                               "moved_wrong_obj": True,
+                               "is_src_obj_grasped": False,
+                               "consecutive_grasp": False})
+    eps = analyze.load_episodes(d)
+    bd = analyze.partial_metric_breakdown(eps)
+    row = bd["widowx_carrot_on_plate"]
+    assert row["moved_correct_obj"] == 0.5
+    assert row["is_src_obj_grasped"] == 0.5
+    assert row["moved_wrong_obj"] == 1.0  # present in only one episode
+    table = analyze.render_partial_table(bd)
+    assert "moved_correct_" in table
+
+
+def test_analyze_instruction_switches(tmp_path):
+    d = str(tmp_path)
+    _write_rich_episode(d, "widowx_stack_cube", 0, True,
+                        instructions=["stack blocks", "stack blocks"])
+    _write_rich_episode(d, "widowx_stack_cube", 1, True,
+                        instructions=["stack blocks", "pile the cubes"])
+    sw = analyze.instruction_switch_stats(analyze.load_episodes(d))
+    assert sw["episodes"] == 2
+    assert sw["episodes_with_switch"] == 1
+    assert sw["switch_rate"] == 0.5
+    assert sw["instruction_counts"]["stack blocks"] == 3
+
+
+def test_analyze_compare_runs(tmp_path):
+    a, b = str(tmp_path / "runA"), str(tmp_path / "runB")
+    for i in range(4):
+        _write_rich_episode(a, "widowx_carrot_on_plate", i, i % 2 == 0)
+        _write_rich_episode(b, "widowx_carrot_on_plate", i, True)
+    cmp = analyze.compare_runs({"A": a, "B": b}, seed_period=2)
+    assert cmp["table"]["widowx_carrot_on_plate"]["A"]["success_rate"] == 0.5
+    assert cmp["table"]["widowx_carrot_on_plate"]["B"]["success_rate"] == 1.0
+    txt = analyze.render_comparison(cmp)
+    assert "A" in txt.splitlines()[0] and "OVERALL" in txt
+    plot = analyze.plot_comparison(cmp, str(tmp_path / "cmp.png"))
+    assert plot is None or os.path.exists(plot)
+    # CLI path
+    analyze.main([a, "--partial", "--switches", "--compare", f"B={b}",
+                  "--seed-period", "2"])

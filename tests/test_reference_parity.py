@@ -416,6 +416,24 @@ def test_sample_actions_fp32_full_path_parity(flow_matching_fp32):
     np.testing.assert_allclose(ours, theirs, rtol=0, atol=1e-4)
 
 
+def test_safetensors_file_ingestion_full_parity(flow_matching_fp32,
+                                                tmp_path):
+    """The on-disk checkpoint path: dump the reference state dict to a
+    .safetensors file (the lerobot save_pretrained format), load through
+    pi0_from_torch.load_state_dict, convert, and reproduce fp32
+    sample_actions parity — exercising the file-ingestion layer the
+    in-memory tests skip."""
+    from safetensors.numpy import save_file
+    ref, sd, our_cfg = flow_matching_fp32
+    path = str(tmp_path / "model.safetensors")
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, path)
+    loaded = pi0_from_torch.load_state_dict(path)
+    assert set(loaded) == set(sd)
+    our_cfg = dataclasses.replace(our_cfg, compute_dtype="float32")
+    ours, theirs = _run_both(ref, loaded, our_cfg, dtype=jnp.float32)
+    np.testing.assert_allclose(ours, theirs, rtol=0, atol=1e-4)
+
+
 def test_sample_actions_production_dtype_end_to_end(flow_matching_bf16):
     """Same full path at the reference's production dtype map (intrinsic
     bf16 transformer + fp32 projections). Residual error is accumulated
