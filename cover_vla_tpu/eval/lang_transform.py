@@ -57,6 +57,12 @@ class TemplateBackend:
     def __init__(self, seed: int = 0):
         self.rng = random.Random(seed)
 
+    # framing variations applied when synonym substitution alone cannot
+    # produce enough distinct candidates (e.g. "open top drawer")
+    _FRAMES = ("please {}", "can you {}", "{} now", "go ahead and {}",
+               "i need you to {}", "{} for me", "kindly {}",
+               "your task is to {}")
+
     def rephrase(self, instruction: str, n: int,
                  image: Optional[bytes] = None) -> List[str]:
         words = instruction.lower().split()
@@ -67,6 +73,9 @@ class TemplateBackend:
             cand = " ".join(
                 self.rng.choice(_SYNONYMS[w]) if w in _SYNONYMS else w
                 for w in words)
+            if attempts > n * 10 or (cand in seen and attempts > n * 3):
+                # synonym space exhausted: add framing variation
+                cand = self.rng.choice(self._FRAMES).format(cand)
             if cand not in seen:
                 seen.add(cand)
                 out.append(cand)
