@@ -37,10 +37,11 @@ _PEAK_FLOPS = {
 
 def _peak_flops(device) -> float:
     kind = getattr(device, "device_kind", "")
+    best = None
     for k, v in _PEAK_FLOPS.items():
-        if kind.startswith(k):
-            return v
-    return 197e12  # assume v5e (the BASELINE north-star chip)
+        if kind.startswith(k) and (best is None or len(k) > len(best[0])):
+            best = (k, v)  # longest prefix wins ("TPU v5 lite" over "TPU v5")
+    return best[1] if best else 197e12  # default: v5e (north-star chip)
 
 
 def _timeit(call, n=10):
@@ -54,7 +55,8 @@ def _timeit(call, n=10):
 
 
 def _program_flops(jitted, *args) -> float:
-    """XLA's own FLOP estimate for the compiled program."""
+    """XLA's cost-analysis FLOP estimate (diagnostic only — remote
+    backends under-report; the MFU uses the analytic count below)."""
     try:
         compiled = jitted.lower(*args).compile()
         cost = compiled.cost_analysis()
@@ -63,6 +65,45 @@ def _program_flops(jitted, *args) -> float:
         return float(cost.get("flops", 0.0))
     except Exception:
         return 0.0
+
+
+def _gemma_matmul_params(cfg) -> float:
+    qd = cfg.num_heads * cfg.head_dim
+    kvd = cfg.num_kv_heads * cfg.head_dim
+    return cfg.depth * (cfg.width * qd + 2 * cfg.width * kvd
+                        + qd * cfg.width + 3 * cfg.width * cfg.mlp_dim)
+
+
+def _vit_matmul_params(cfg) -> float:
+    return cfg.depth * (4 * cfg.width ** 2 + 2 * cfg.width * cfg.mlp_dim)
+
+
+def _analytic_flops(pcfg, vcfg, ccfg, episodes: int) -> float:
+    """Model FLOPs of ONE verified step (2 flops/MAC), per episode batch.
+
+    Counts the dominant matmuls: policy vision tower, K prompt prefills
+    through PaliGemma, the Euler-loop expert decode over N candidates
+    (attending the cached prefix), attention score/value products, and the
+    verifier backbone + vmapped ensemble heads.
+    """
+    K, N = ccfg.n_rephrases, ccfg.n_samples
+    P = pcfg.prefix_len
+    S = pcfg.suffix_len
+    qd_pg = pcfg.paligemma.num_heads * pcfg.paligemma.head_dim
+    qd_ex = pcfg.expert.num_heads * pcfg.expert.head_dim
+
+    vision = 2 * _vit_matmul_params(pcfg.vision) * pcfg.vision.num_patches
+    prefill = 2 * _gemma_matmul_params(pcfg.paligemma) * K * P
+    prefill += 2 * 2 * pcfg.paligemma.depth * K * P * P * qd_pg  # qk + pv
+    dec_tokens = pcfg.num_denoise_steps * K * N * S
+    decode = 2 * _gemma_matmul_params(pcfg.expert) * dec_tokens
+    decode += 2 * 2 * pcfg.expert.depth * dec_tokens * (P + S) * qd_ex
+
+    v_patches = vcfg.vision.num_patches
+    verifier = 2 * _vit_matmul_params(vcfg.vision) * v_patches
+    verifier += 2 * 2 * vcfg.vision.depth * v_patches ** 2 * vcfg.vision.width
+    verifier += 2 * _vit_matmul_params(vcfg.text) * vcfg.text.context_length
+    return episodes * (vision + prefill + decode + verifier)
 
 
 def main():
@@ -142,12 +183,16 @@ def main():
     latE = _timeit(callE)
     p50_batched = float(np.median(latE))
 
-    # MFU: XLA's FLOP count for the E-episode program / p50 / chip peak
+    # MFU: analytic model FLOPs of the E-episode program / p50 / chip peak
+    # (XLA's cost_analysis under-reports on remote backends; kept as a
+    # diagnostic field)
     keysE = jax.random.split(jax.random.PRNGKey(0), E)
-    flopsE = _program_flops(stepE, policy_params, verifier_params, keysE,
-                            rawE, propE, ltE, lmE, vtE, histE, hlenE)
+    xla_flopsE = _program_flops(stepE, policy_params, verifier_params,
+                                keysE, rawE, propE, ltE, lmE, vtE, histE,
+                                hlenE)
+    flopsE = _analytic_flops(pcfg, vcfg, ccfg, E)
     peak = _peak_flops(jax.devices()[0])
-    mfu = flopsE / p50_batched / peak if flopsE else None
+    mfu = flopsE / p50_batched / peak
 
     # ---- reference protocol: 5 samples x 8 rephrases (README.md:136) ----
     ccfg58 = CoVerConfig(n_samples=5, n_rephrases=8)
@@ -180,8 +225,9 @@ def main():
         "p50_single_step_ms": round(p50_single * 1e3, 1),
         "single_episode_actions_per_sec": round(
             pcfg.chunk_size / p50_single, 2),
-        "mfu": round(mfu, 4) if mfu else None,
-        "program_tflops_per_step": round(flopsE / 1e12, 2),
+        "mfu": round(mfu, 4),
+        "model_tflops_per_step": round(flopsE / 1e12, 2),
+        "xla_reported_tflops_per_step": round(xla_flopsE / 1e12, 2),
         "ref_protocol_5x8_p50_ms": round(p50_58 * 1e3, 1),
         "ref_protocol_5x8_actions_per_sec": round(
             pcfg.chunk_size / p50_58, 2),
