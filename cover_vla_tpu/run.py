@@ -30,6 +30,7 @@ class TrainCfg:
     lr: float = 5e-5
     warmup_steps: int = 100
     grad_accum: int = 1
+    optimizer: str = "adamw"    # adamw | adamw_8bit (quantised moments)
     train_expert_only: bool = True   # freeze VLM+vision; grads/moments only
                                      # for the expert + projections
     dp: int = 0                 # 0 = auto (all devices on fsdp)
@@ -176,7 +177,7 @@ def role_train(cfg: RunCfg):
         if n > 1 and t.batch_size % n == 0 else None
     tx = train_pi0.make_optimizer(
         warmup_cosine(t.lr, t.warmup_steps, t.num_steps),
-        accumulate_steps=t.grad_accum)
+        optimizer=t.optimizer, accumulate_steps=t.grad_accum)
     with (mesh or _nullcontext()):
         if t.train_expert_only:
             # partitioned step: no grad buffers/moments for frozen weights —

@@ -44,9 +44,22 @@ def freeze_mask(params, train_expert_only: bool = True,
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
-def make_optimizer(lr_schedule, mask=None, **kw) -> optax.GradientTransformation:
-    from cover_vla_tpu.training.optim import make_adamw
-    tx = make_adamw(lr_schedule, **kw)
+def make_optimizer(lr_schedule, mask=None, optimizer: str = "adamw",
+                   accumulate_steps: int = 1,
+                   **kw) -> optax.GradientTransformation:
+    """optimizer: "adamw" | "adamw_8bit" (block-quantised moments, the
+    bnb AdamW8bit counterpart — trainer.py:204-210)."""
+    if optimizer == "adamw_8bit":
+        from cover_vla_tpu.training.quantized_optim import adamw_8bit
+        tx = optax.chain(optax.clip_by_global_norm(kw.pop("grad_clip", 1.0)),
+                         adamw_8bit(lr_schedule, **kw))
+        if accumulate_steps > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    elif optimizer == "adamw":
+        from cover_vla_tpu.training.optim import make_adamw
+        tx = make_adamw(lr_schedule, accumulate_steps=accumulate_steps, **kw)
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}")
     if mask is not None:
         # frozen leaves get zero updates (optax.masked would pass raw grads
         # through for de-selected leaves — NOT a freeze)

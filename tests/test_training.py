@@ -192,3 +192,27 @@ def test_cleanup_empty_runs(tmp_path):
     assert cleanup_empty_runs(str(root)) == 1
     assert not (root / "empty_run").exists()
     assert list_checkpoints(str(root / "good_run"))
+
+
+def test_make_optimizer_adamw_8bit_trains():
+    """The 8-bit optimizer is reachable through the trainer factory (and
+    thus --train.optimizer adamw_8bit): moments are block-quantised,
+    training still reduces the loss."""
+    tx = train_pi0.make_optimizer(warmup_cosine(1e-3, 2, 50),
+                                  optimizer="adamw_8bit")
+    state = train_pi0.init_train_state(jax.random.PRNGKey(0), CFG, tx)
+    step = train_pi0.make_train_step(CFG, tx)
+    batch = _batch()
+    losses = []
+    for i in range(6):
+        state, metrics = step(state, jax.random.PRNGKey(i), batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # quantised moment state: int8 codes somewhere in the opt state
+    leaves = jax.tree_util.tree_leaves(state.opt_state)
+    assert any(l.dtype == jnp.int8 for l in leaves if hasattr(l, "dtype"))
+
+    with pytest.raises(ValueError):
+        train_pi0.make_optimizer(warmup_cosine(1e-3, 2, 50),
+                                 optimizer="sgd_bogus")
