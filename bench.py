@@ -129,7 +129,8 @@ def main():
     # N=16 candidates under the current instruction (BASELINE.json config 3/4)
     ccfg = CoVerConfig(n_samples=16, n_rephrases=1)
     stats = DatasetStatistics.from_json()
-    E = 8  # lockstep episodes per dispatch
+    E = 16  # lockstep episodes per dispatch (measured optimum on v5e:
+    #         E=8 -> 135 act/s, E=16 -> 151, E=32 regresses on HBM)
 
     t0 = time.time()
     policy_params = jax.jit(lambda k: pi0.init_pi0(k, pcfg))(
@@ -212,6 +213,23 @@ def main():
     lat58 = _timeit(call58, n=6)
     p50_58 = float(np.median(lat58))
 
+    # ---- opt-in fast-math attention scores (identical selected actions,
+    # cross-validated in round-1; scores differ ~5e-5) ------------------
+    from cover_vla_tpu.ops.attention import set_fast_math
+    set_fast_math(True)
+    try:
+        stepF = make_verified_step_batched(pcfg, vcfg, ccfg, stats)
+
+        def callF(i):
+            keys = jax.random.split(jax.random.PRNGKey(i), E)
+            return stepF(policy_params, verifier_params, keys, rawE, propE,
+                         ltE, lmE, vtE, histE, hlenE)
+
+        jax.block_until_ready(callF(0))
+        p50_fast = float(np.median(_timeit(callF, n=6)))
+    finally:
+        set_fast_math(False)
+
     actions_per_sec = E * pcfg.chunk_size / p50_batched
     print(json.dumps({
         "metric": "verified_actions_per_sec_chip_N16",
@@ -231,6 +249,8 @@ def main():
         "ref_protocol_5x8_p50_ms": round(p50_58 * 1e3, 1),
         "ref_protocol_5x8_actions_per_sec": round(
             pcfg.chunk_size / p50_58, 2),
+        "fast_math_actions_per_sec": round(
+            E * pcfg.chunk_size / p50_fast, 2),
         "compile_s": round(compile1_s + compileE_s + compile58_s, 1),
         "device": str(jax.devices()[0]),
     }))
