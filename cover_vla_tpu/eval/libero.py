@@ -78,3 +78,83 @@ def list_tasks(suite: str) -> List[str]:
     suite_obj = lb.get_benchmark_dict()[suite]()
     return [suite_obj.get_task(i).language
             for i in range(suite_obj.n_tasks)]
+
+
+# Per-suite episode caps (libero_evaluator.py:230-244: longest training
+# demo + margin)
+LIBERO_MAX_STEPS: Dict[str, int] = {
+    "libero_spatial": 220,
+    "libero_object": 280,
+    "libero_goal": 300,
+    "libero_10": 520,
+    "libero_90": 400,
+}
+
+# no-op action while objects settle after reset (libero_evaluator.py:126-131)
+LIBERO_DUMMY_ACTION = np.asarray([0.0, 0, 0, 0, 0, 0, -1.0])
+LIBERO_SETTLE_STEPS = 10
+
+
+class LiberoEvaluator:
+    """Suite-level LIBERO evaluation loop (libero_evaluator.py:39-220).
+
+    Drives any policy exposing reset(task)/select_action(image, state,
+    task) over every task of a suite: per-episode deterministic initial
+    states (env.set_init_state when available), 10 settle steps with the
+    dummy action, the 180-degree agentview frame flip, and per-suite step
+    caps. env_fn defaults to make_libero_env (fake-env fallback)."""
+
+    def __init__(self, policy, suite: str, n_eval_episodes: int = 10,
+                 env_fn=None, max_steps: Optional[int] = None):
+        if suite not in LIBERO_SUITES:
+            raise ValueError(f"unknown LIBERO suite {suite!r}")
+        self.policy = policy
+        self.suite = suite
+        self.n_eval_episodes = n_eval_episodes
+        self.env_fn = env_fn or make_libero_env
+        self.max_steps = max_steps or LIBERO_MAX_STEPS[suite]
+
+    def evaluate_task(self, task_id: int) -> Dict:
+        env = self.env_fn(self.suite, task_id)
+        instruction = env.get_language_instruction() \
+            if hasattr(env, "get_language_instruction") else str(task_id)
+        successes = 0
+        init_states = getattr(env, "get_task_init_states", lambda: None)()
+        for ep in range(self.n_eval_episodes):
+            obs, _ = env.reset(seed=ep)
+            if init_states is not None and hasattr(env, "set_init_state"):
+                obs = env.set_init_state(init_states[ep % len(init_states)])
+            self.policy.reset(instruction)
+            t, done = 0, False
+            while t < self.max_steps + LIBERO_SETTLE_STEPS and not done:
+                if t < LIBERO_SETTLE_STEPS:
+                    obs, _, done, _, _ = env.step(LIBERO_DUMMY_ACTION)[:5]
+                    t += 1
+                    continue
+                frame = obs.get("image")
+                if frame is None and "agentview_image" in obs:
+                    # rotate 180 (libero frames arrive upside down)
+                    frame = np.ascontiguousarray(
+                        obs["agentview_image"][::-1, ::-1])
+                state = obs.get("agent", {}).get("eef_pos",
+                                                 np.zeros(8, np.float32))
+                action = self.policy.select_action(frame, state, instruction)
+                obs, _, done, trunc, _ = env.step(np.asarray(action))
+                t += 1
+                if trunc:
+                    break
+            successes += bool(done)
+        return {"task_id": task_id, "instruction": instruction,
+                "episodes": self.n_eval_episodes,
+                "success_rate": successes / self.n_eval_episodes}
+
+    def evaluate(self, n_tasks: Optional[int] = None) -> Dict:
+        tasks = list_tasks(self.suite)
+        n = n_tasks or len(tasks)
+        results = [self.evaluate_task(i) for i in range(n)]
+        return {
+            "suite": self.suite,
+            "per_task": results,
+            "success_rate": float(np.mean([r["success_rate"]
+                                           for r in results])),
+        }

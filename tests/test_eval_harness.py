@@ -87,3 +87,34 @@ def test_summarize_aggregation():
     s = summarize(eps)
     assert s["per_task"]["t"]["success_rate"] == 0.5
     assert s["overall_success_rate"] == 0.5
+
+
+def test_libero_evaluator_suite_loop():
+    """LIBERO suite loop on the fake env: settle steps, per-suite caps,
+    policy reset per episode (libero_evaluator.py semantics)."""
+    from cover_vla_tpu.eval.libero import (
+        LIBERO_MAX_STEPS, LiberoEvaluator)
+
+    class ScriptedPolicy:
+        def __init__(self):
+            self.resets = []
+
+        def reset(self, task):
+            self.resets.append(task)
+
+        def select_action(self, image, state, task):
+            assert image is not None and image.ndim == 3
+            return np.asarray([0.02, 0.0, -0.01, 0, 0, 0, -1.0])
+
+    pol = ScriptedPolicy()
+    ev = LiberoEvaluator(pol, "libero_object", n_eval_episodes=2,
+                         max_steps=12)
+    out = ev.evaluate(n_tasks=2)
+    assert out["suite"] == "libero_object"
+    assert len(out["per_task"]) == 2
+    assert 0.0 <= out["success_rate"] <= 1.0
+    assert len(pol.resets) == 4  # 2 tasks x 2 episodes
+    assert LIBERO_MAX_STEPS["libero_10"] == 520
+
+    with pytest.raises(ValueError):
+        LiberoEvaluator(pol, "not_a_suite")
