@@ -56,6 +56,9 @@ class VitConfig:
     patch_size: int
     image_size: int
     ln_eps: float = 1e-6
+    # tanh-approx GELU (HF gelu_pytorch_tanh) vs exact erf GELU
+    # (timm/open_clip nn.GELU — the SigLIP2 verifier towers)
+    gelu_approx: bool = True
 
     @property
     def num_patches(self) -> int:
@@ -78,6 +81,7 @@ class SiglipTextConfig:
     context_length: int
     embed_dim: int  # output dim of text_projection
     ln_eps: float = 1e-6
+    gelu_approx: bool = False  # open_clip TextTransformer uses exact GELU
 
 
 # Reference hyperparameters --------------------------------------------------
@@ -104,7 +108,7 @@ SIGLIP_SO400M = VitConfig(
 # finetune_trajectory_bridge_ddp.py:1414)
 SIGLIP2_L16_384_VISION = VitConfig(
     width=1024, depth=24, mlp_dim=4096, num_heads=16, patch_size=16,
-    image_size=384,
+    image_size=384, gelu_approx=False,  # timm ViT: exact nn.GELU
 )
 
 # SigLIP2 ViT-L text tower (open_clip text_cfg: width 1024 / 24 layers,
@@ -220,7 +224,7 @@ class VerifierConfig:
 def tiny_verifier_config() -> VerifierConfig:
     return VerifierConfig(
         vision=VitConfig(width=32, depth=2, mlp_dim=64, num_heads=4,
-                         patch_size=16, image_size=64),
+                         patch_size=16, image_size=64, gelu_approx=False),
         text=SiglipTextConfig(width=32, depth=2, mlp_dim=64, num_heads=4,
                               vocab_size=512, context_length=16, embed_dim=32),
         text_pooling_output_dim=16,

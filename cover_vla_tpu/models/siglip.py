@@ -88,8 +88,12 @@ def init_vit(key: jax.Array, cfg: VitConfig, *, dtype=jnp.bfloat16) -> Params:
 
 
 def _block(layer: Params, h: jax.Array, num_heads: int, eps: float,
-           mask: Optional[jax.Array] = None):
-    """Pre-LN transformer block. Returns (h, attn_sublayer_output)."""
+           mask: Optional[jax.Array] = None, gelu_approx: bool = True):
+    """Pre-LN transformer block. Returns (h, attn_sublayer_output).
+
+    gelu_approx: tanh-approximate GELU (HF gelu_pytorch_tanh — the
+    PaliGemma SigLIP tower) vs exact erf GELU (timm/open_clip — the
+    SigLIP2 verifier towers use nn.GELU)."""
     b, t, w = h.shape
     d = w // num_heads
     x = layer_norm(h, layer["ln1"]["scale"], layer["ln1"]["bias"], eps)
@@ -107,7 +111,7 @@ def _block(layer: Params, h: jax.Array, num_heads: int, eps: float,
     y = layer_norm(h, layer["ln2"]["scale"], layer["ln2"]["bias"], eps)
     y = y.astype(layer["mlp"]["fc1"]["kernel"].dtype)
     y = jax.nn.gelu(y @ layer["mlp"]["fc1"]["kernel"]
-                    + layer["mlp"]["fc1"]["bias"], approximate=True)
+                    + layer["mlp"]["fc1"]["bias"], approximate=gelu_approx)
     y = y @ layer["mlp"]["fc2"]["kernel"] + layer["mlp"]["fc2"]["bias"]
     return h + y, attn_out
 
@@ -121,7 +125,8 @@ def vit_forward(params: Params, cfg: VitConfig, images: jax.Array) -> VitOutput:
 
     def body(carry, layer):
         h, _ = carry
-        h, attn_out = _block(layer, h, cfg.num_heads, cfg.ln_eps)
+        h, attn_out = _block(layer, h, cfg.num_heads, cfg.ln_eps,
+                             gelu_approx=cfg.gelu_approx)
         return (h, attn_out), None
 
     (h, last_attn), _ = jax.lax.scan(body, (h, jnp.zeros_like(h)),
@@ -170,7 +175,8 @@ def text_forward(params: Params, cfg: SiglipTextConfig,
     h = h + params["pos_emb"][:t][None]
 
     def body(h, layer):
-        h, _ = _block(layer, h, cfg.num_heads, cfg.ln_eps)
+        h, _ = _block(layer, h, cfg.num_heads, cfg.ln_eps,
+                      gelu_approx=cfg.gelu_approx)
         return h, None
 
     h, _ = jax.lax.scan(body, h, params["blocks"])

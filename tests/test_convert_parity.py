@@ -96,7 +96,7 @@ def test_timm_vit_last_attn_parity():
     """qkv-packed (timm-style) conversion: last-block attn output matches a
     manual torch forward of the same block stack."""
     cfg = VitConfig(width=32, depth=2, mlp_dim=64, num_heads=4,
-                    patch_size=8, image_size=16)
+                    patch_size=8, image_size=16, gelu_approx=False)
 
     # Build a timm-naming state dict from torch modules
     torch.manual_seed(2)
@@ -156,8 +156,9 @@ def test_timm_vit_last_attn_parity():
             y = torch.nn.functional.layer_norm(
                 h, (w,), sd[p + "norm2.weight"], sd[p + "norm2.bias"], 1e-6)
             y = torch.nn.functional.gelu(
-                y @ sd[p + "mlp.fc1.weight"].T + sd[p + "mlp.fc1.bias"],
-                approximate="tanh")
+                y @ sd[p + "mlp.fc1.weight"].T + sd[p + "mlp.fc1.bias"])
+            # exact erf GELU: timm/open_clip use nn.GELU, not the tanh
+            # approximation (which is the HF PaliGemma tower's choice)
             h = h + y @ sd[p + "mlp.fc2.weight"].T + sd[p + "mlp.fc2.bias"]
         return last_attn
 
@@ -338,3 +339,81 @@ def test_pi0_full_convert_roundtrip_shapes():
         num_candidates=2)
     assert out.shape == (1, 2, cfg.chunk_size, cfg.max_action_dim)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_openclip_text_tower_parity():
+    """convert_openclip_text + text_forward == a manual torch forward of
+    open_clip's TextTransformer resblocks (pre-LN, packed in_proj MHA,
+    exact-GELU MLP, ln_final + Linear text_projection per token)."""
+    from cover_vla_tpu.configs import SiglipTextConfig
+
+    cfg = SiglipTextConfig(width=32, depth=2, mlp_dim=64, num_heads=4,
+                           vocab_size=64, context_length=10, embed_dim=24)
+    w = cfg.width
+    torch.manual_seed(5)
+    sd = {
+        "text.token_embedding.weight": torch.randn(cfg.vocab_size, w) * 0.02,
+        "text.positional_embedding": torch.randn(cfg.context_length, w) * 0.01,
+        "text.ln_final.weight": torch.rand(w) + 0.5,
+        "text.ln_final.bias": torch.randn(w) * 0.02,
+        "text.text_projection.weight": torch.randn(cfg.embed_dim, w) * 0.1,
+        "text.text_projection.bias": torch.randn(cfg.embed_dim) * 0.02,
+    }
+    for i in range(cfg.depth):
+        p = f"text.transformer.resblocks.{i}."
+        sd[p + "ln_1.weight"] = torch.rand(w) + 0.5
+        sd[p + "ln_1.bias"] = torch.randn(w) * 0.02
+        sd[p + "attn.in_proj_weight"] = torch.randn(3 * w, w) * 0.1
+        sd[p + "attn.in_proj_bias"] = torch.randn(3 * w) * 0.02
+        sd[p + "attn.out_proj.weight"] = torch.randn(w, w) * 0.1
+        sd[p + "attn.out_proj.bias"] = torch.randn(w) * 0.02
+        sd[p + "ln_2.weight"] = torch.rand(w) + 0.5
+        sd[p + "ln_2.bias"] = torch.randn(w) * 0.02
+        sd[p + "mlp.c_fc.weight"] = torch.randn(cfg.mlp_dim, w) * 0.1
+        sd[p + "mlp.c_fc.bias"] = torch.randn(cfg.mlp_dim) * 0.02
+        sd[p + "mlp.c_proj.weight"] = torch.randn(w, cfg.mlp_dim) * 0.1
+        sd[p + "mlp.c_proj.bias"] = torch.randn(w) * 0.02
+
+    params = verifier_from_torch.convert_openclip_text(
+        {k: v.numpy() for k, v in sd.items()}, cfg, dtype=jnp.float32)
+
+    tokens = np.array([[1, 5, 9, 2, 7, 3, 4, 6, 8, 0]], np.int64)
+
+    def torch_forward():
+        h = sd["text.token_embedding.weight"][torch.from_numpy(tokens)]
+        h = h + sd["text.positional_embedding"][None]
+        for i in range(cfg.depth):
+            p = f"text.transformer.resblocks.{i}."
+            y = torch.nn.functional.layer_norm(
+                h, (w,), sd[p + "ln_1.weight"], sd[p + "ln_1.bias"], 1e-6)
+            qkv = y @ sd[p + "attn.in_proj_weight"].T + \
+                sd[p + "attn.in_proj_bias"]
+            q, k, v = qkv.chunk(3, dim=-1)
+            B, T, _ = q.shape
+            hd = w // cfg.num_heads
+            q = q.view(B, T, cfg.num_heads, hd).transpose(1, 2)
+            k = k.view(B, T, cfg.num_heads, hd).transpose(1, 2)
+            v = v.view(B, T, cfg.num_heads, hd).transpose(1, 2)
+            a = torch.softmax(q @ k.transpose(-1, -2) / hd ** 0.5, -1) @ v
+            a = a.transpose(1, 2).reshape(B, T, w)
+            h = h + a @ sd[p + "attn.out_proj.weight"].T + \
+                sd[p + "attn.out_proj.bias"]
+            y = torch.nn.functional.layer_norm(
+                h, (w,), sd[p + "ln_2.weight"], sd[p + "ln_2.bias"], 1e-6)
+            y = torch.nn.functional.gelu(
+                y @ sd[p + "mlp.c_fc.weight"].T + sd[p + "mlp.c_fc.bias"])
+            h = h + y @ sd[p + "mlp.c_proj.weight"].T + \
+                sd[p + "mlp.c_proj.bias"]
+        h = torch.nn.functional.layer_norm(
+            h, (w,), sd["text.ln_final.weight"], sd["text.ln_final.bias"],
+            1e-6)
+        # (L2 normalisation happens later in verifier.extract_features)
+        return h @ sd["text.text_projection.weight"].T + \
+            sd["text.text_projection.bias"]
+
+    with torch.no_grad():
+        expected = torch_forward().numpy()
+    got = siglip.text_forward(params, cfg, jnp.asarray(tokens.astype(
+        np.int32))).seq_features
+    np.testing.assert_allclose(np.asarray(got), expected,
+                               rtol=2e-3, atol=2e-4)
