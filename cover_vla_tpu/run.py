@@ -60,6 +60,9 @@ class ServeCfg:
     port: int = 8000
     mode: str = "pi0"           # pi0 | cover
     checkpoint: str = ""
+    verifier_checkpoint: str = ""   # cover mode
+    n_samples: int = 5              # cover mode: candidates per prompt
+    n_rephrases: int = 8
     tiny: bool = False
 
 
@@ -348,7 +351,7 @@ def role_train_verifier(cfg: RunCfg):
     log.info("done")
 
 
-def role_serve(cfg: RunCfg):
+def build_server(cfg: RunCfg):
     import jax
     from cover_vla_tpu.configs import Pi0Config, tiny_pi0_config
     from cover_vla_tpu.models import pi0
@@ -363,10 +366,34 @@ def role_serve(cfg: RunCfg):
     else:
         params = jax.jit(lambda k: pi0.init_pi0(k, mcfg))(
             jax.random.PRNGKey(0))
-    policy = Pi0PolicyWrapper(params, mcfg)
-    server = WebsocketPolicyServer(policy, s.host, s.port,
-                                   metadata={"model": "pi0"})
-    print(f"serving pi0 on ws://{s.host}:{s.port}")
+    if s.mode == "cover":
+        # the fused sample->score->select engine behind the same RPC verbs
+        from cover_vla_tpu.configs import (
+            CoVerConfig, VerifierConfig, tiny_verifier_config)
+        from cover_vla_tpu.engine import CoVerEngine
+        from cover_vla_tpu.eval.rephrase import load_rephrases
+        from cover_vla_tpu.models import verifier
+        from cover_vla_tpu.serving.policy_wrapper import CoVerPolicyWrapper
+        vcfg = tiny_verifier_config() if s.tiny else VerifierConfig()
+        vp = checkpoints.load_params(s.verifier_checkpoint) \
+            if s.verifier_checkpoint else jax.jit(
+                lambda k: verifier.init_verifier(k, vcfg, 3))(
+                jax.random.PRNGKey(1))
+        engine = CoVerEngine(params, vp, mcfg, vcfg,
+                             CoVerConfig(n_samples=s.n_samples,
+                                         n_rephrases=s.n_rephrases),
+                             rephrases=load_rephrases())
+        policy = CoVerPolicyWrapper(engine)
+    else:
+        policy = Pi0PolicyWrapper(params, mcfg)
+    return WebsocketPolicyServer(policy, s.host, s.port,
+                                 metadata={"model": s.mode})
+
+
+def role_serve(cfg: RunCfg):
+    server = build_server(cfg)
+    s = cfg.serve
+    print(f"serving {s.mode} on ws://{s.host}:{s.port}")
     server.serve_forever()
 
 

@@ -73,3 +73,26 @@ def test_server_error_propagates_traceback():
     with pytest.raises(RuntimeError, match="boom"):
         client.infer({"state": np.array([1.0])})
     client.close()
+
+
+def test_role_serve_cover_mode_builds_and_infers():
+    """--role serve_policy --serve.mode cover: the fused engine behind the
+    RPC verbs (previously only pi0 mode was reachable from the CLI)."""
+    import numpy as np
+    from cover_vla_tpu.run import RunCfg, ServeCfg, build_server
+
+    cfg = RunCfg(role="serve_policy",
+                 serve=ServeCfg(mode="cover", tiny=True, n_samples=2,
+                                n_rephrases=2, port=18999))
+    server = build_server(cfg)
+    assert server.metadata["model"] == "cover"
+    pol = server.policy
+    rng = np.random.default_rng(0)
+    pol.infer({"reset_task": "put carrot on plate",
+               "image": rng.integers(0, 255, (64, 64, 3)).astype(np.uint8),
+               "proprio": np.zeros(7, np.float32)})
+    out = pol.infer({
+        "image": rng.integers(0, 255, (64, 64, 3)).astype(np.uint8),
+        "proprio": np.zeros(7, np.float32)})
+    assert out["actions"].shape == (7,)
+    assert out["instruction"]
