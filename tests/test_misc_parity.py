@@ -65,3 +65,51 @@ def test_jsonl_sink(tmp_path):
     lines = [json.loads(l) for l in open(path)]
     assert lines[0]["loss"] == 0.5 and lines[0]["_step"] == 3
     assert lines[1]["_step"] == 4
+
+
+def test_aloha_gripper_transforms_parity_vs_reference():
+    """eval/aloha.py == the reference's aloha gripper/joint shims
+    (modeling_pi0.py:175-218, 411-436), using the actual reference module
+    as the oracle."""
+    import torch
+    from cover_vla_tpu.eval import aloha
+    from test_reference_parity import _load_reference_pi0
+
+    try:
+        _, mpi0 = _load_reference_pi0(fp32_oracle=False)
+    except Exception as e:
+        pytest.skip(f"reference modeling_pi0 not loadable: {e}")
+
+    x = np.linspace(0.05, 0.95, 13).astype(np.float32)
+    np.testing.assert_allclose(
+        aloha.aloha_gripper_to_angular(x),
+        mpi0.aloha_gripper_to_angular(torch.from_numpy(x)).numpy(),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        aloha.aloha_gripper_from_angular(x),
+        mpi0.aloha_gripper_from_angular(torch.from_numpy(x)).numpy(),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        aloha.aloha_gripper_from_angular_inv(x),
+        mpi0.aloha_gripper_from_angular_inv(torch.from_numpy(x)).numpy(),
+        rtol=1e-6)
+    # from_angular ∘ from_angular_inv == identity
+    np.testing.assert_allclose(
+        aloha.aloha_gripper_from_angular(
+            aloha.aloha_gripper_from_angular_inv(x)), x, rtol=1e-5)
+
+    # joint flips + gripper slots in the state/action codecs
+    rng = np.random.default_rng(0)
+    state = rng.uniform(0.1, 0.9, (2, 14)).astype(np.float32)
+    dec = aloha.decode_state(state)
+    for j in (1, 2, 8, 9):
+        np.testing.assert_allclose(dec[:, j], -state[:, j])
+    for j in (6, 13):
+        np.testing.assert_allclose(
+            dec[:, j], aloha.aloha_gripper_to_angular(state[:, j]))
+    acts = rng.uniform(0.1, 0.9, (2, 4, 14)).astype(np.float32)
+    enc = aloha.encode_actions(acts)
+    inv = aloha.encode_actions_inv(enc)
+    # encode then encode_inv restores the original (flips cancel, gripper
+    # mapping inverts)
+    np.testing.assert_allclose(inv, acts, rtol=1e-5, atol=1e-6)
