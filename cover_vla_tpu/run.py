@@ -426,6 +426,17 @@ def role_eval(cfg: RunCfg):
     print(json.dumps(out["summary"], indent=2))
 
 
+def role_bench(cfg: RunCfg):
+    """The perf benchmark (same program as the repo-root bench.py)."""
+    import importlib.util
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    spec = importlib.util.spec_from_file_location("cover_vla_bench", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+
+
 class _nullcontext:
     def __enter__(self):
         return None
@@ -442,10 +453,11 @@ def main(argv=None):
         "train_verifier": role_train_verifier,
         "serve_policy": role_serve,
         "eval": role_eval,
+        "bench": role_bench,
     }.get(cfg.role)
     if role is None:
         raise SystemExit(f"unknown role {cfg.role!r} "
-                         f"(train|train_verifier|serve_policy|eval)")
+                         f"(train|train_verifier|serve_policy|eval|bench)")
     role(cfg)
 
 
