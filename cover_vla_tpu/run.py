@@ -280,7 +280,14 @@ def role_train_verifier(cfg: RunCfg):
     tx = make_adamw(linear_warmup(t.lr, t.warmup_steps))
     backbone, state = train_verifier.init_train_state(
         jax.random.PRNGKey(t.seed), vcfg, tx, num_members=t.num_members)
-    step_fn = train_verifier.make_ensemble_train_step(vcfg, tx)
+    # DDP-equivalent mesh (sharded batch, local InfoNCE, grad pmean) when
+    # the batch divides over the devices
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1 and t.batch_size % n_dev == 0:
+        from cover_vla_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dp=n_dev, fsdp=1)
+    step_fn = train_verifier.make_ensemble_train_step(vcfg, tx, mesh=mesh)
     sinks = make_sinks(
         jsonl_path=t.metrics_jsonl or os.path.join(t.checkpoint_dir,
                                                    "metrics.jsonl"),
@@ -309,6 +316,8 @@ def role_train_verifier(cfg: RunCfg):
         for batch in ds.batches(t.batch_size, tok,
                                 vcfg.text.context_length, seed=t.seed + i):
             batch.pop("instructions")
+            if mesh is not None:
+                batch = train_verifier.shard_verifier_batch(batch, mesh)
             state, metrics = step_fn(state, backbone, batch)
             if i % 10 == 0:
                 m = aggregate_metrics(

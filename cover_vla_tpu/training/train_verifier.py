@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, NamedTuple, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
@@ -88,36 +89,88 @@ def make_train_step(cfg: VerifierConfig, tx: optax.GradientTransformation,
     return jax.jit(step)
 
 
+def _ensemble_grads(members, backbone, batch, cfg: VerifierConfig):
+    feats = verifier.extract_features(
+        {"backbone": backbone}, cfg, batch["images"], batch["text_tokens"])
+    feats = jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
+
+    def loss_fn(members):
+        losses, metrics = jax.vmap(
+            lambda m: info_nce_loss(m, cfg, feats,
+                                    batch["action_histories"]))(members)
+        return losses.mean(), metrics
+
+    (_, per_member), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(members)
+    metrics = {k: v.mean() for k, v in per_member.items()}
+    metrics["member_loss"] = per_member["loss"]
+    return grads, metrics
+
+
 def make_ensemble_train_step(cfg: VerifierConfig,
-                             tx: optax.GradientTransformation):
+                             tx: optax.GradientTransformation, mesh=None):
     """Jitted step updating ALL members at once (vmapped member axis; the
     reference trains members as separate seeded runs and merges —
     finetune...py:1500-1519 + efficient_ensemble_merged.py:36-53; here
     member diversity comes from independent initialisations while the MXU
-    batches the K head stacks in one pass)."""
+    batches the K head stacks in one pass).
+
+    With a mesh, the step is the exact multi-device counterpart of the
+    reference's NCCL DDP (finetune...py:424-438,674): the batch is sharded
+    over the mesh, every device computes the symmetric InfoNCE over its
+    LOCAL batch shard (local negatives — the DDP semantics, since DDP
+    never gathers logits across ranks), and gradients are averaged with a
+    pmean (the all-reduce). Params/optimizer state stay replicated (the
+    trainable heads are ~10 MB)."""
+
+    if mesh is None:
+        def step(state: VerifierTrainState, backbone, batch):
+            grads, metrics = _ensemble_grads(state.members, backbone,
+                                             batch, cfg)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.members)
+            members = optax.apply_updates(state.members, updates)
+            return VerifierTrainState(members, opt_state, state.step + 1), \
+                metrics
+
+        return jax.jit(step)
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    axes = tuple(mesh.axis_names)
+    rep, shard = P(), P(axes)
+
+    def local(members, backbone, batch):
+        grads, metrics = _ensemble_grads(members, backbone, batch, cfg)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, axes), grads)
+        metrics = {k: jax.lax.pmean(v, axes) for k, v in metrics.items()}
+        return grads, metrics
+
+    # check_rep=False: the scans inside the verifier towers mix replicated
+    # carries with batch-varying activations, which the replication checker
+    # cannot type; grads are explicitly pmean'd so outputs ARE replicated
+    smapped = shard_map(local, mesh=mesh,
+                        in_specs=(rep, rep, shard),
+                        out_specs=(rep, rep), check_rep=False)
 
     def step(state: VerifierTrainState, backbone, batch):
-        feats = verifier.extract_features(
-            {"backbone": backbone}, cfg, batch["images"],
-            batch["text_tokens"])
-        feats = jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
-
-        def loss_fn(members):
-            losses, metrics = jax.vmap(
-                lambda m: info_nce_loss(m, cfg, feats,
-                                        batch["action_histories"]))(members)
-            return losses.mean(), metrics
-
-        (loss, per_member), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.members)
-        metrics = {k: v.mean() for k, v in per_member.items()}
-        metrics["member_loss"] = per_member["loss"]
+        grads, metrics = smapped(state.members, backbone, batch)
         metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.members)
         members = optax.apply_updates(state.members, updates)
         return VerifierTrainState(members, opt_state, state.step + 1), metrics
 
     return jax.jit(step)
+
+
+def shard_verifier_batch(batch, mesh):
+    """Place a host batch sharded over the mesh's axes (leading dim)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    return {k: jax.device_put(np.asarray(v), sh) if not isinstance(v, list)
+            else v for k, v in batch.items()}
 
 
 def ensemble_eval_metrics(members, cfg: VerifierConfig, backbone,

@@ -165,3 +165,34 @@ def test_cli_verifier_lifecycle(tmp_path):
     run_mod.main(args + ["--train.num_steps", "5", "--train.resume", "true"])
     latest = checkpoints.latest_checkpoint(str(ck))
     assert int(latest.rsplit("_", 1)[-1]) == 5
+
+
+def test_ensemble_train_step_ddp_mesh(tmp_path):
+    """DDP-equivalent mesh step: batch sharded, per-device LOCAL InfoNCE,
+    gradient pmean — members update identically on every device and the
+    replicated state matches the optimizer math (finetune...py:424-438)."""
+    from cover_vla_tpu.parallel.mesh import make_mesh
+    import optax
+
+    path = _dataset(tmp_path, n=16)
+    ds = BridgeVerifierDataset(path, history_length=CFG.history_length,
+                               image_size=CFG.vision.image_size)
+    tok = make_verifier_tokenizer(CFG.text.vocab_size)
+    mesh = make_mesh(dp=8, fsdp=1)
+    tx = optax.adam(1e-3)
+    backbone, state = train_verifier.init_train_state(
+        jax.random.PRNGKey(0), CFG, tx, num_members=2)
+    step = train_verifier.make_ensemble_train_step(CFG, tx, mesh=mesh)
+    batch = _batch(ds, tok, 16)  # 2 samples per device
+    before = np.asarray(state.members["input_projection"]["kernel"])
+    with mesh:
+        sharded = train_verifier.shard_verifier_batch(batch, mesh)
+        state, metrics = step(state, backbone, sharded)
+        state, metrics = step(state, backbone, sharded)
+    assert np.isfinite(float(metrics["loss"]))
+    assert metrics["member_loss"].shape == (2,)
+    after = np.asarray(state.members["input_projection"]["kernel"])
+    assert np.abs(after - before).max() > 0
+    # replicated output state (grads were pmean'd)
+    leaves = jax.tree_util.tree_leaves(state.members)
+    assert all(len(l.sharding.device_set) == 8 for l in leaves)
