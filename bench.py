@@ -225,21 +225,27 @@ def main():
     lat58 = _timeit(call58, n=6)
     p50_58 = float(np.median(lat58))
 
-    # ---- opt-in fast-math attention scores (identical selected actions,
-    # cross-validated in round-1; scores differ ~5e-5) ------------------
-    from cover_vla_tpu.ops.attention import set_fast_math
+    # ---- max-throughput mode: flash (pallas) tower MHA + fast-math
+    # attention scores, pipelined dispatch — identical selected winners,
+    # bf16-level action deviation (cross-validated in tests) -------------
+    from cover_vla_tpu.ops.attention import set_fast_math, set_mha_backend
+    set_mha_backend("pallas")
     set_fast_math(True)
     try:
-        stepF = make_verified_step_batched(pcfg, vcfg, ccfg, stats)
+        stepM = make_verified_step_batched(pcfg, vcfg, ccfg, stats)
 
-        def callF(i):
+        def callM(i):
             keys = jax.random.split(jax.random.PRNGKey(i), E)
-            return stepF(policy_params, verifier_params, keys, rawE, propE,
+            return stepM(policy_params, verifier_params, keys, rawE, propE,
                          ltE, lmE, vtE, histE, hlenE)
 
-        jax.block_until_ready(callF(0))
-        p50_fast = float(np.median(_timeit(callF, n=6)))
+        jax.block_until_ready(callM(0))
+        t0 = time.time()
+        outsM = [callM(200 + i) for i in range(n_pipe)]
+        jax.block_until_ready(outsM)
+        max_step_s = (time.time() - t0) / n_pipe
     finally:
+        set_mha_backend("xla")
         set_fast_math(False)
 
     actions_per_sec = E * pcfg.chunk_size / p50_batched
@@ -264,8 +270,8 @@ def main():
         "ref_protocol_5x8_p50_ms": round(p50_58 * 1e3, 1),
         "ref_protocol_5x8_actions_per_sec": round(
             pcfg.chunk_size / p50_58, 2),
-        "fast_math_actions_per_sec": round(
-            E * pcfg.chunk_size / p50_fast, 2),
+        "max_throughput_actions_per_sec": round(
+            E * pcfg.chunk_size / max_step_s, 2),
         "compile_s": round(compile1_s + compileE_s + compile58_s, 1),
         "device": str(jax.devices()[0]),
     }))

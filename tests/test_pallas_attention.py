@@ -66,3 +66,30 @@ def test_pallas_prefill_flag():
             pa.pallas_prefix_gqa = orig
     np.testing.assert_allclose(outs["xla"], outs["pallas"], rtol=0.1,
                                atol=0.05)
+
+
+def test_pallas_mha_dense_matches_xla_interpret():
+    """Dense flash MHA (interpret mode on CPU) == the eager einsum path at
+    bf16 tolerance, including non-multiple-of-block sequence lengths and
+    the set_mha_backend switch."""
+    from cover_vla_tpu.ops import attention as att
+    from cover_vla_tpu.ops.pallas_attention import pallas_mha_dense
+
+    rng = np.random.default_rng(0)
+    for (b, s, h, d) in [(2, 37, 4, 16), (1, 300, 2, 32)]:
+        q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+        ref = np.asarray(att.mha_attention(q, k, v), np.float32)
+        got = np.asarray(pallas_mha_dense(q, k, v, interpret=True),
+                         np.float32)
+        np.testing.assert_allclose(got, ref, atol=2e-2)
+
+    # backend switch routes mask-free calls only
+    att.set_mha_backend("pallas")
+    try:
+        assert att._MHA_BACKEND == "pallas"
+    finally:
+        att.set_mha_backend("xla")
+    with pytest.raises(AssertionError):
+        att.set_mha_backend("bogus")
