@@ -333,8 +333,16 @@ def _shared_prefix_gqa(q: jax.Array, k_suf: jax.Array, v_suf: jax.Array,
 
     The joint softmax over prefix+suffix scores is computed in fp32; the
     prefix keys are NOT replicated across candidates — the contraction
-    broadcasts them, which XLA maps to one MXU pass per row.
+    broadcasts them, which XLA maps to one MXU pass per row. Under the
+    "pallas" MHA backend the whole op runs as a flash kernel that keeps
+    the score tensor in VMEM (ops.pallas_attention.pallas_shared_prefix_gqa).
     """
+    from cover_vla_tpu.ops import attention as _att
+    if _att._MHA_BACKEND == "pallas":
+        from cover_vla_tpu.ops.pallas_attention import (
+            pallas_shared_prefix_gqa)
+        return pallas_shared_prefix_gqa(q, k_suf, v_suf, k_pre, v_pre,
+                                        prefix_pad, suffix_mask)
     b, n, s, hq, d = q.shape
     hkv = k_suf.shape[3]
     g = hq // hkv

@@ -69,6 +69,157 @@ def _round_up(x: int, m: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Shared-prefix decode attention — the pi0 Euler loop's hot op
+# ---------------------------------------------------------------------------
+
+
+def _shared_prefix_kernel(q_ref, kp_ref, vp_ref, ks_ref, vs_ref,
+                          pmask_ref, smask_ref, o_ref, *, scale: float,
+                          p_len: int):
+    """One (batch*kv-head) program: all N candidates' suffix queries attend
+    [shared prefix | own suffix] with ONE online softmax — the fp32
+    [rows, P] score tensor never leaves VMEM (the XLA path materialises
+    ~54 MB/layer in HBM, 10x per control step).
+
+    q_ref: [1, ROWS, D] bf16 (rows = N*S*G, candidate-major);
+    kp/vp_ref: [1, P_pad, D] bf16 shared prefix; ks/vs_ref: [1, NS_pad, D]
+    bf16 per-candidate suffix keys; pmask_ref: [1, P_pad] int8 valid prefix
+    keys; smask_ref: [1, ROWS, NS_pad] int8 block-diagonal candidate mask.
+    """
+    q = q_ref[0].astype(jnp.float32) * scale
+    rows, d = q.shape
+    num_pre_blocks = pl.cdiv(p_len, _BLOCK_K)
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k = kp_ref[0, pl.ds(i * _BLOCK_K, _BLOCK_K), :]
+        s = jax.lax.dot_general(
+            q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [ROWS, BK]
+        # pmask_ref is [1, 8, P_pad] fp32 bias rows (0 valid / BIG_NEG
+        # padded) — 2-D sublane-aligned loads keep Mosaic happy
+        s = s + pmask_ref[0, 0:1, pl.ds(i * _BLOCK_K, _BLOCK_K)]
+
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new).astype(jnp.bfloat16).astype(jnp.float32)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        v = vp_ref[0, pl.ds(i * _BLOCK_K, _BLOCK_K), :].astype(jnp.float32)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    m0 = jnp.full((rows, 1), BIG_NEG, jnp.float32)
+    l0 = jnp.zeros((rows, 1), jnp.float32)
+    acc0 = jnp.zeros((rows, d), jnp.float32)
+    m_f, l_f, acc = jax.lax.fori_loop(0, num_pre_blocks, body,
+                                      (m0, l0, acc0))
+
+    # own-suffix keys: one small block with the block-diagonal mask
+    ks = ks_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, ks, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = jnp.where(smask_ref[0] != 0, s, BIG_NEG)
+    m_new = jnp.maximum(m_f, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new).astype(jnp.bfloat16).astype(jnp.float32)
+    alpha = jnp.exp(m_f - m_new)
+    l_f = l_f * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc * alpha + jax.lax.dot_general(
+        p, vs_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = acc / jnp.maximum(l_f, 1e-37)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_shared_prefix_gqa(q: jax.Array, k_suf: jax.Array,
+                             v_suf: jax.Array, k_pre: jax.Array,
+                             v_pre: jax.Array, prefix_pad: jax.Array,
+                             suffix_mask: jax.Array,
+                             interpret: bool = False) -> jax.Array:
+    """Flash counterpart of models.gemma._shared_prefix_gqa.
+
+    q: [B, N, S, Hq, D]; k_suf/v_suf: [B, N, S, Hkv, D];
+    k_pre/v_pre: [B, P, Hkv, D]; prefix_pad: bool[B, P];
+    suffix_mask: bool[B, S, S]. Returns [B, N, S, Hq*D] in v_suf.dtype.
+    """
+    b, n, s, hq, d = q.shape
+    hkv = k_suf.shape[3]
+    g = hq // hkv
+    p_len = k_pre.shape[1]
+    scale = d ** -0.5
+    rows = n * s * g
+    rows_pad = _round_up(rows, 128)
+    p_pad = _round_up(p_len, _BLOCK_K)
+    ns = n * s
+    ns_pad = _round_up(ns, 128)
+
+    # candidate-major row layout per (b, kv-head)
+    qh = q.reshape(b, n, s, hkv, g, d).transpose(0, 3, 1, 2, 4, 5)
+    qh = qh.reshape(b * hkv, rows, d)
+    qh = jnp.pad(qh.astype(jnp.bfloat16), ((0, 0), (0, rows_pad - rows),
+                                           (0, 0)))
+    kp = k_pre.transpose(0, 2, 1, 3).reshape(b * hkv, p_len, d)
+    kp = jnp.pad(kp.astype(jnp.bfloat16), ((0, 0), (0, p_pad - p_len),
+                                           (0, 0)))
+    vp = v_pre.transpose(0, 2, 1, 3).reshape(b * hkv, p_len, d)
+    vp = jnp.pad(vp.astype(jnp.bfloat16), ((0, 0), (0, p_pad - p_len),
+                                           (0, 0)))
+    ks = k_suf.transpose(0, 3, 1, 2, 4).reshape(b * hkv, ns, d)
+    ks = jnp.pad(ks.astype(jnp.bfloat16), ((0, 0), (0, ns_pad - ns),
+                                           (0, 0)))
+    vs = v_suf.transpose(0, 3, 1, 2, 4).reshape(b * hkv, ns, d)
+    vs = jnp.pad(vs.astype(jnp.bfloat16), ((0, 0), (0, ns_pad - ns),
+                                           (0, 0)))
+    pbias = jnp.where(jnp.pad(prefix_pad, ((0, 0), (0, p_pad - p_len))),
+                      0.0, BIG_NEG).astype(jnp.float32)
+    pbias = jnp.repeat(pbias[:, None], hkv, 1).reshape(b * hkv, 1, p_pad)
+    pbias = jnp.broadcast_to(pbias, (b * hkv, 8, p_pad))
+
+    # block-diagonal candidate mask [rows, NS]: row (n,s_q,g) attends key
+    # (n', s_k) iff n' == n and suffix_mask[s_q, s_k]
+    row_n = jnp.arange(rows) // (s * g)
+    row_s = (jnp.arange(rows) // g) % s
+    key_n = jnp.arange(ns) // s
+    key_s = jnp.arange(ns) % s
+    block = (row_n[:, None] == key_n[None, :])
+    smask = block[None] & suffix_mask[:, row_s][:, :, key_s]   # [B,rows,NS]
+    smask = jnp.pad(smask, ((0, 0), (0, rows_pad - rows),
+                            (0, ns_pad - ns)))
+    smask = jnp.repeat(smask[:, None], hkv, 1).reshape(
+        b * hkv, rows_pad, ns_pad).astype(jnp.int8)
+
+    out = pl.pallas_call(
+        functools.partial(_shared_prefix_kernel, scale=scale, p_len=p_len),
+        out_shape=jax.ShapeDtypeStruct((b * hkv, rows_pad, d), jnp.float32),
+        grid=(b * hkv,),
+        in_specs=[
+            pl.BlockSpec((1, rows_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ns_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ns_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, p_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_pad, ns_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qh, kp, vp, ks, vs, pbias, smask)
+
+    out = out[:, :rows].reshape(b, hkv, n, s, g, d)
+    out = out.transpose(0, 2, 3, 1, 4, 5)          # [B, N, S, Hkv, G, D]
+    return out.reshape(b, n, s, hq * d).astype(v_suf.dtype)
+
+
+# ---------------------------------------------------------------------------
 # Dense (mask-free) flash MHA — the ViT / text towers
 # ---------------------------------------------------------------------------
 

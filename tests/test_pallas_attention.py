@@ -93,3 +93,32 @@ def test_pallas_mha_dense_matches_xla_interpret():
         att.set_mha_backend("xla")
     with pytest.raises(AssertionError):
         att.set_mha_backend("bogus")
+
+
+def test_pallas_shared_prefix_gqa_matches_xla_interpret():
+    """Flash shared-prefix decode kernel (interpret on CPU) == the XLA
+    joint-softmax path at bf16 tolerance, incl. ragged prefix padding and
+    the intra-candidate suffix mask."""
+    from cover_vla_tpu.models.gemma import _shared_prefix_gqa
+    from cover_vla_tpu.ops.masks import make_att_2d_masks, suffix_att_masks
+    from cover_vla_tpu.ops.pallas_attention import pallas_shared_prefix_gqa
+
+    rng = np.random.default_rng(1)
+    b, n, s, hq, hkv, d, p = 2, 3, 5, 4, 1, 16, 11
+    q = jnp.asarray(rng.standard_normal((b, n, s, hq, d)), jnp.bfloat16)
+    ks = jnp.asarray(rng.standard_normal((b, n, s, hkv, d)), jnp.bfloat16)
+    vs = jnp.asarray(rng.standard_normal((b, n, s, hkv, d)), jnp.bfloat16)
+    kp = jnp.asarray(rng.standard_normal((b, p, hkv, d)), jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((b, p, hkv, d)), jnp.bfloat16)
+    prefix_pad = np.ones((b, p), bool)
+    prefix_pad[1, 8:] = False
+    att = suffix_att_masks(b, s - 1)
+    smask = make_att_2d_masks(np.ones((b, s), bool), np.asarray(att))
+
+    ref = np.asarray(_shared_prefix_gqa(
+        q, ks, vs, kp, vp, jnp.asarray(prefix_pad), jnp.asarray(smask)),
+        np.float32)
+    got = np.asarray(pallas_shared_prefix_gqa(
+        q, ks, vs, kp, vp, jnp.asarray(prefix_pad), jnp.asarray(smask),
+        interpret=True), np.float32)
+    np.testing.assert_allclose(got, ref, atol=2e-2)
