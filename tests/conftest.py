@@ -20,3 +20,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# persistent compilation cache: the suite's CPU compiles dominate its wall
+# time; repeat runs hit the cache (same flag the TPU bench uses)
+import os as _os
+_cache = _os.path.expanduser("~/.cache/jax_comp_cache_cpu")
+_os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
