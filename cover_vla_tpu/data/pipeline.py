@@ -256,3 +256,33 @@ def make_pi0_batch(frames: Dict, tokenizer, cfg, stats=None,
         "actions": act_pad,
         "actions_is_pad": frames["action_is_pad"],
     }
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Background-thread prefetch: overlaps host-side decode/collation with
+    device steps (the tf.data prefetch counterpart; the pure-Python reader
+    decodes ~900 frames/s single-threaded, ~30x the full-size trainer's
+    consumption rate, so depth=2 fully hides the input pipeline)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surface errors in the consumer thread
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

@@ -110,7 +110,7 @@ def role_train(cfg: RunCfg):
     from cover_vla_tpu.configs import Pi0Config, tiny_pi0_config
     from cover_vla_tpu.data.pipeline import (
         FrameDataset, StreamingFrameDataset, ParaphraseAugment, interleave,
-        batcher, make_pi0_batch)
+        batcher, make_pi0_batch, prefetch)
     from cover_vla_tpu.data.tokenizer import make_policy_tokenizer
     from cover_vla_tpu.parallel.mesh import make_mesh
     from cover_vla_tpu.parallel.distributed import aggregate_metrics
@@ -201,9 +201,9 @@ def role_train(cfg: RunCfg):
             log.info("resumed from step %d", start)
 
         timer = Timer()
-        frames = batcher(interleave([ds], seed=t.seed,
-                                    shuffle_buffer=t.shuffle_buffer),
-                         t.batch_size)
+        frames = prefetch(batcher(interleave([ds], seed=t.seed,
+                                              shuffle_buffer=t.shuffle_buffer),
+                                  t.batch_size))
         val_batch = None
         if t.val_every:
             # hold out the first batch as the rolling validation set

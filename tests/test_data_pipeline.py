@@ -154,3 +154,18 @@ def test_retrieval_harness():
     assert res["num_samples"] == n
     assert 0.0 <= res["top1_accuracy"] <= 1.0
     assert "top-1 accuracy" in display_results(res)
+
+
+def test_prefetch_preserves_order_and_propagates_errors():
+    from cover_vla_tpu.data.pipeline import prefetch
+
+    assert list(prefetch(iter(range(10)), depth=3)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("input pipeline failure")
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        list(it)
