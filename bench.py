@@ -228,26 +228,24 @@ def main():
 
     # ---- max-throughput mode: flash (pallas) tower MHA + fast-math
     # attention scores, pipelined dispatch — identical selected winners,
-    # bf16-level action deviation (cross-validated in tests) -------------
-    from cover_vla_tpu.ops.attention import set_fast_math, set_mha_backend
-    set_mha_backend("pallas")
-    set_fast_math(True)
-    try:
-        stepM = make_verified_step_batched(pcfg, vcfg, ccfg, stats)
+    # bf16-level action deviation (cross-validated in tests). Selected via
+    # config plumbing (fast_pi0_config/fast_verifier_config), not the
+    # deprecated process-global toggles.
+    from cover_vla_tpu.configs import fast_pi0_config, fast_verifier_config
+    stepM = make_verified_step_batched(fast_pi0_config(pcfg),
+                                       fast_verifier_config(vcfg),
+                                       ccfg, stats)
 
-        def callM(i):
-            keys = jax.random.split(jax.random.PRNGKey(i), E)
-            return stepM(policy_params, verifier_params, keys, rawE, propE,
-                         ltE, lmE, vtE, histE, hlenE)
+    def callM(i):
+        keys = jax.random.split(jax.random.PRNGKey(i), E)
+        return stepM(policy_params, verifier_params, keys, rawE, propE,
+                     ltE, lmE, vtE, histE, hlenE)
 
-        jax.block_until_ready(callM(0))
-        t0 = time.time()
-        outsM = [callM(200 + i) for i in range(n_pipe)]
-        jax.block_until_ready(outsM)
-        max_step_s = (time.time() - t0) / n_pipe
-    finally:
-        set_mha_backend("xla")
-        set_fast_math(False)
+    jax.block_until_ready(callM(0))
+    t0 = time.time()
+    outsM = [callM(200 + i) for i in range(n_pipe)]
+    jax.block_until_ready(outsM)
+    max_step_s = (time.time() - t0) / n_pipe
 
     # headline = pipelined sustained throughput: the engine double-buffers
     # dispatches (batched_engine.py), and the blocking p50 is dominated by

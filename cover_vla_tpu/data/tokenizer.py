@@ -11,9 +11,12 @@ with the same interface so the full pipeline remains runnable end-to-end
 from __future__ import annotations
 
 import hashlib
+import logging
 from typing import List, Protocol, Sequence, Tuple
 
 import numpy as np
+
+log = logging.getLogger("cover_vla_tpu.tokenizer")
 
 
 class Tokenizer(Protocol):
@@ -61,25 +64,41 @@ class HashTokenizer:
 
 
 class HFTokenizer:
-    """HuggingFace-backed tokenizer (requires local tokenizer files)."""
+    """HuggingFace-backed tokenizer (requires local tokenizer files).
 
-    def __init__(self, name_or_path: str, append_newline: bool = True):
+    `add_bos=False` strips a tokenizer-prepended BOS so a transformers
+    save_pretrained directory produces the same token stream as the bare
+    tokenizer.json FileTokenizer path (open_clip SigLIP2 text-tower
+    semantics: no BOS)."""
+
+    def __init__(self, name_or_path: str, append_newline: bool = True,
+                 add_bos: bool = True):
         from transformers import AutoTokenizer
         # local_files_only: fail fast in air-gapped environments instead of
         # burning ~1 min in network retries before the Hash fallback kicks in
         self.tok = AutoTokenizer.from_pretrained(name_or_path,
                                                  local_files_only=True)
         self.append_newline = append_newline
+        self.add_bos = add_bos
 
     def encode_batch(self, texts: Sequence[str], max_length: int
                      ) -> Tuple[np.ndarray, np.ndarray]:
         if self.append_newline:
             texts = [t if t.endswith("\n") else f"{t}\n" for t in texts]
-        out = self.tok(list(texts), padding="max_length", padding_side="right",
-                       max_length=max_length, truncation=True,
-                       return_tensors="np")
-        return (out["input_ids"].astype(np.int32),
-                out["attention_mask"].astype(bool))
+        # encode un-truncated, then strip BOS if requested, then pad/cut —
+        # so BOS-stripping never eats a content token at the boundary
+        out = self.tok(list(texts), padding=False, truncation=False)
+        bos = getattr(self.tok, "bos_token_id", None)
+        pad = self.tok.pad_token_id or 0
+        tokens = np.full((len(texts), max_length), pad, np.int32)
+        mask = np.zeros((len(texts), max_length), bool)
+        for i, ids in enumerate(out["input_ids"]):
+            if not self.add_bos and bos is not None and ids and ids[0] == bos:
+                ids = ids[1:]
+            ids = ids[:max_length]
+            tokens[i, :len(ids)] = ids
+            mask[i, :len(ids)] = True
+        return tokens, mask
 
 
 class FileTokenizer:
@@ -125,23 +144,52 @@ def _file_or_hf(path: str, **kw) -> Tokenizer:
             os.path.join(path, "tokenizer.json")) and not os.path.exists(
             os.path.join(path, "tokenizer_config.json")):
         return FileTokenizer(os.path.join(path, "tokenizer.json"), **kw)
-    return HFTokenizer(path, append_newline=kw.get("append_newline", True))
+    return HFTokenizer(path, append_newline=kw.get("append_newline", True),
+                       add_bos=kw.get("add_bos", True))
 
 
 def make_policy_tokenizer(vocab_size: int,
-                          hf_path: str = "google/paligemma-3b-pt-224"
-                          ) -> Tokenizer:
+                          hf_path: str = "google/paligemma-3b-pt-224",
+                          strict: bool = False) -> Tokenizer:
+    """Real PaliGemma vocabulary when available; HashTokenizer otherwise.
+
+    The fallback is a fake vocabulary — fine for random-weight bench/tests,
+    GARBAGE for real checkpoints. It therefore always warns, and raises when
+    `strict=True` (eval/serve roles with a real checkpoint set strict unless
+    --allow_hash_tokenizer)."""
     try:
         return _file_or_hf(hf_path)
-    except Exception:
+    except Exception as e:
+        if strict:
+            raise RuntimeError(
+                f"policy tokenizer artifacts unavailable at {hf_path!r}; "
+                "real-checkpoint inference would emit garbage actions under "
+                "the hash fallback (pass --allow_hash_tokenizer to override)"
+            ) from e
+        log.warning(
+            "policy tokenizer %r unavailable (%s): falling back to "
+            "HashTokenizer — a FAKE vocabulary only valid for random-weight "
+            "runs", hf_path, type(e).__name__)
         return HashTokenizer(vocab_size)
 
 
-def make_verifier_tokenizer(vocab_size: int, hf_path: str | None = None
-                            ) -> Tokenizer:
+def make_verifier_tokenizer(vocab_size: int, hf_path: str | None = None,
+                            strict: bool = False) -> Tokenizer:
     if hf_path:
         try:
             return _file_or_hf(hf_path, append_newline=False, add_bos=False)
-        except Exception:
-            pass
+        except Exception as e:
+            if strict:
+                raise RuntimeError(
+                    f"verifier tokenizer artifacts unavailable at "
+                    f"{hf_path!r} (pass --allow_hash_tokenizer to override)"
+                ) from e
+            log.warning(
+                "verifier tokenizer %r unavailable (%s): falling back to "
+                "HashTokenizer", hf_path, type(e).__name__)
+    elif strict:
+        raise RuntimeError(
+            "no verifier tokenizer artifact configured; real-checkpoint "
+            "scoring would be garbage under the hash fallback "
+            "(pass --allow_hash_tokenizer to override)")
     return HashTokenizer(vocab_size, add_bos=False)

@@ -160,14 +160,14 @@ def fused_forward(pg_params: Params, ex_params: Params,
 
 
 def _masked_gqa(q: jax.Array, k: jax.Array, v: jax.Array,
-                mask: jax.Array) -> jax.Array:
+                mask: jax.Array, precision=None) -> jax.Array:
     """GQA attention, fp32 softmax. q:[B,Sq,Hq,D] k/v:[B,Skv,Hkv,D]."""
     b, sq, hq, dim = q.shape
     hkv = k.shape[2]
     g = hq // hkv
     q32 = q.astype(jnp.float32).reshape(b, sq, hkv, g, dim)
     scores = jnp.einsum("bqhgd,bkhd->bhgqk", q32, k.astype(jnp.float32),
-                        precision=score_precision())
+                        precision=precision or score_precision())
     scores = scores * (dim ** -0.5)
     scores = jnp.where(mask[:, None, None, :, :], scores, BIG_NEG)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
@@ -182,18 +182,21 @@ def _masked_gqa(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def prefill(pg_params: Params, cfg: GemmaConfig, prefix_emb: jax.Array,
             positions: jax.Array, mask: jax.Array,
-            return_hidden: bool = False, attn_impl: str = "xla"):
+            return_hidden: bool = False, attn_impl: str = "xla",
+            fast_math: bool | None = None):
     """Run the LM on the prefix, emitting per-layer K/V.
 
     Returns (hidden_or_None, cache) with cache = {"k": [L,B,P,Hkv,D],
     "v": [L,B,P,Hkv,D]} kept in bf16 (HBM-resident across the Euler loop).
     """
 
+    prec = None if fast_math is None else (
+        jax.lax.Precision.DEFAULT if fast_math else jax.lax.Precision.HIGHEST)
     if attn_impl == "pallas":
         from cover_vla_tpu.ops.pallas_attention import pallas_prefix_gqa
         attn_fn = lambda q, k, v: pallas_prefix_gqa(q, k, v, mask)
     else:
-        attn_fn = lambda q, k, v: _masked_gqa(q, k, v, mask)
+        attn_fn = lambda q, k, v: _masked_gqa(q, k, v, mask, precision=prec)
 
     def body(h, layer):
         q, k, v = _qkv(layer, cfg, h, positions)
@@ -294,7 +297,9 @@ def ar_generate(params: Params, cfg: GemmaConfig, prefix_emb: jax.Array,
 def decode_shared_prefix(ex_params: Params, cfg: GemmaConfig,
                          suffix_emb: jax.Array, positions: jax.Array,
                          cache: Params, prefix_pad: jax.Array,
-                         suffix_mask: jax.Array) -> jax.Array:
+                         suffix_mask: jax.Array,
+                         attn_impl: str = "xla",
+                         fast_math: bool | None = None) -> jax.Array:
     """Expert forward over N candidates sharing one prefix KV cache per row.
 
     Args:
@@ -312,7 +317,8 @@ def decode_shared_prefix(ex_params: Params, cfg: GemmaConfig,
     def body(h, xs):
         layer, kc, vc = xs
         q, k, v = _qkv(layer, cfg, h, pos)  # q: [B,N,S,Hq,D]; k/v: [B,N,S,Hkv,D]
-        attn = _shared_prefix_gqa(q, k, v, kc, vc, prefix_pad, suffix_mask)
+        attn = _shared_prefix_gqa(q, k, v, kc, vc, prefix_pad, suffix_mask,
+                                  attn_impl=attn_impl, fast_math=fast_math)
         h = _post_attention(layer, cfg, h, attn)
         return h, None
 
@@ -324,7 +330,9 @@ def decode_shared_prefix(ex_params: Params, cfg: GemmaConfig,
 def _shared_prefix_gqa(q: jax.Array, k_suf: jax.Array, v_suf: jax.Array,
                        k_pre: jax.Array, v_pre: jax.Array,
                        prefix_pad: jax.Array,
-                       suffix_mask: jax.Array) -> jax.Array:
+                       suffix_mask: jax.Array,
+                       attn_impl: str = "xla",
+                       fast_math: bool | None = None) -> jax.Array:
     """Attention of candidate suffix queries over [shared prefix | own suffix].
 
     q: [B, N, S, Hq, D]; k_suf/v_suf: [B, N, S, Hkv, D];
@@ -333,16 +341,17 @@ def _shared_prefix_gqa(q: jax.Array, k_suf: jax.Array, v_suf: jax.Array,
 
     The joint softmax over prefix+suffix scores is computed in fp32; the
     prefix keys are NOT replicated across candidates — the contraction
-    broadcasts them, which XLA maps to one MXU pass per row. Under the
-    "pallas" MHA backend the whole op runs as a flash kernel that keeps
+    broadcasts them, which XLA maps to one MXU pass per row. Under
+    attn_impl="pallas" the whole op runs as a flash kernel that keeps
     the score tensor in VMEM (ops.pallas_attention.pallas_shared_prefix_gqa).
     """
-    from cover_vla_tpu.ops import attention as _att
-    if _att._MHA_BACKEND == "pallas":
+    if attn_impl == "pallas":
         from cover_vla_tpu.ops.pallas_attention import (
             pallas_shared_prefix_gqa)
         return pallas_shared_prefix_gqa(q, k_suf, v_suf, k_pre, v_pre,
                                         prefix_pad, suffix_mask)
+    prec = score_precision() if fast_math is None else (
+        jax.lax.Precision.DEFAULT if fast_math else jax.lax.Precision.HIGHEST)
     b, n, s, hq, d = q.shape
     hkv = k_suf.shape[3]
     g = hq // hkv
@@ -351,13 +360,13 @@ def _shared_prefix_gqa(q: jax.Array, k_suf: jax.Array, v_suf: jax.Array,
     # [B, N, Hkv, G, S, P]
     scores_pre = jnp.einsum("bnshgd,bphd->bnhgsp", q32,
                             k_pre.astype(jnp.float32),
-                            precision=score_precision())
+                            precision=prec)
     scores_pre = jnp.where(prefix_pad[:, None, None, None, None, :],
                            scores_pre, BIG_NEG)
     # [B, N, Hkv, G, S, S]
     scores_suf = jnp.einsum("bnshgd,bnthd->bnhgst", q32,
                             k_suf.astype(jnp.float32),
-                            precision=score_precision())
+                            precision=prec)
     scores_suf = jnp.where(suffix_mask[:, None, None, None, :, :],
                            scores_suf, BIG_NEG)
 

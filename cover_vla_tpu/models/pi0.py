@@ -224,7 +224,8 @@ def compute_prefix_cache(params: Params, cfg: Pi0Config, images, img_masks,
     hidden, cache = gemma.prefill(params["paligemma"], cfg.paligemma,
                                   prefix.embs, positions, mask2d,
                                   return_hidden=return_hidden,
-                                  attn_impl=cfg.attention_impl)
+                                  attn_impl=cfg.attention_impl,
+                                  fast_math=cfg.fast_math)
     return PrefixCache(cache=cache, pad_masks=prefix.pad_masks, hidden=hidden)
 
 
@@ -247,7 +248,9 @@ def denoise_step(params: Params, cfg: Pi0Config, state: jax.Array,
     suffix_embs = embed_suffix(params, cfg, state, x_t, time)
     out = gemma.decode_shared_prefix(
         params["expert"], cfg.expert, suffix_embs, positions,
-        prefix.cache, prefix.pad_masks, suffix_mask)
+        prefix.cache, prefix.pad_masks, suffix_mask,
+        attn_impl=cfg.decode_attn_impl or cfg.attention_impl,
+        fast_math=cfg.fast_math)
     out = out[..., -cfg.chunk_size:, :].astype(jnp.float32)
     return _linear(params["action_out_proj"], out)
 

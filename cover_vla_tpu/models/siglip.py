@@ -88,7 +88,8 @@ def init_vit(key: jax.Array, cfg: VitConfig, *, dtype=jnp.bfloat16) -> Params:
 
 
 def _block(layer: Params, h: jax.Array, num_heads: int, eps: float,
-           mask: Optional[jax.Array] = None, gelu_approx: bool = True):
+           mask: Optional[jax.Array] = None, gelu_approx: bool = True,
+           attn_impl: str = "xla", fast_math: bool = False):
     """Pre-LN transformer block. Returns (h, attn_sublayer_output).
 
     gelu_approx: tanh-approximate GELU (HF gelu_pytorch_tanh — the
@@ -104,7 +105,8 @@ def _block(layer: Params, h: jax.Array, num_heads: int, eps: float,
          ).reshape(b, t, num_heads, d)
     v = (x @ layer["attn"]["v"]["kernel"] + layer["attn"]["v"]["bias"]
          ).reshape(b, t, num_heads, d)
-    attn = mha_attention(q, k, v, mask=mask)
+    attn = mha_attention(q, k, v, mask=mask, backend=attn_impl,
+                         fast_math=fast_math)
     attn_out = attn.astype(layer["attn"]["o"]["kernel"].dtype) \
         @ layer["attn"]["o"]["kernel"] + layer["attn"]["o"]["bias"]
     h = h + attn_out
@@ -126,7 +128,9 @@ def vit_forward(params: Params, cfg: VitConfig, images: jax.Array) -> VitOutput:
     def body(carry, layer):
         h, _ = carry
         h, attn_out = _block(layer, h, cfg.num_heads, cfg.ln_eps,
-                             gelu_approx=cfg.gelu_approx)
+                             gelu_approx=cfg.gelu_approx,
+                             attn_impl=cfg.attn_impl,
+                             fast_math=cfg.fast_math)
         return (h, attn_out), None
 
     (h, last_attn), _ = jax.lax.scan(body, (h, jnp.zeros_like(h)),
@@ -176,7 +180,8 @@ def text_forward(params: Params, cfg: SiglipTextConfig,
 
     def body(h, layer):
         h, _ = _block(layer, h, cfg.num_heads, cfg.ln_eps,
-                      gelu_approx=cfg.gelu_approx)
+                      gelu_approx=cfg.gelu_approx,
+                      attn_impl=cfg.attn_impl, fast_math=cfg.fast_math)
         return h, None
 
     h, _ = jax.lax.scan(body, h, params["blocks"])

@@ -69,11 +69,19 @@ def gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 # tensor; ~19% faster at the verifier's 577-token shape on v5e, bf16-level
 # numeric deviation like any flash-vs-eager pair). Only mask/bias-free
 # calls take the pallas path.
+#
+# The preferred selection mechanism is per-call `backend=` plumbed from the
+# model configs (VitConfig.attn_impl / Pi0Config.attention_impl) — engines
+# built from different configs can coexist in one process. The module-level
+# default below only applies to calls that pass backend=None and is kept
+# for back-compat.
 _MHA_BACKEND = "xla"
 
 
 def set_mha_backend(name: str) -> None:
-    """"xla" | "pallas". Affects newly TRACED programs only."""
+    """Module DEFAULT for backend=None calls ("xla" | "pallas"). Affects
+    newly TRACED programs only. Prefer config plumbing (VitConfig.attn_impl
+    etc.) over this process-global toggle."""
     global _MHA_BACKEND
     assert name in ("xla", "pallas"), name
     _MHA_BACKEND = name
@@ -81,22 +89,30 @@ def set_mha_backend(name: str) -> None:
 
 def mha_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                   mask: jax.Array | None = None,
-                  bias: jax.Array | None = None) -> jax.Array:
+                  bias: jax.Array | None = None,
+                  backend: str | None = None,
+                  fast_math: bool | None = None) -> jax.Array:
     """Standard multi-head attention (used by ViT towers / verifier heads).
 
     Args:
       q: [B, Sq, H, D]; k, v: [B, Skv, H, D]
       mask: optional bool[B, Sq, Skv] (True = attend).
       bias: optional float[B, Sq, Skv] added to the scores.
+      backend: "xla" | "pallas" | None (None = module default).
+      fast_math: None = module default; True allows reduced-precision MXU
+        passes for the score matmul.
     Returns: [B, Sq, H * D].
     """
-    if _MHA_BACKEND == "pallas" and mask is None and bias is None:
+    backend = _MHA_BACKEND if backend is None else backend
+    if backend == "pallas" and mask is None and bias is None:
         from cover_vla_tpu.ops.pallas_attention import pallas_mha_dense
         return pallas_mha_dense(q, k, v)
+    prec = score_precision() if fast_math is None else (
+        jax.lax.Precision.DEFAULT if fast_math else jax.lax.Precision.HIGHEST)
     b, sq, h, d = q.shape
     scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
                         k.astype(jnp.float32),
-                        precision=score_precision()) * (d ** -0.5)
+                        precision=prec) * (d ** -0.5)
     if bias is not None:
         scores = scores + bias[:, None, :, :].astype(jnp.float32)
     if mask is not None:

@@ -57,7 +57,9 @@ def test_pallas_prefill_flag():
             pa.pallas_prefix_gqa = lambda q, k, v, m: orig(q, k, v, m,
                                                            interpret=True)
         try:
-            c = replace(cfg, attention_impl=impl)
+            # pin the decode backend to xla: this test exercises the
+            # PREFILL flag only (decode_attn_impl would otherwise inherit)
+            c = replace(cfg, attention_impl=impl, decode_attn_impl="xla")
             cache = pi0.compute_prefix_cache(params, c, images, im, toks,
                                              masks)
             outs[impl] = np.asarray(pi0.denoise_from_cache(
@@ -122,3 +124,53 @@ def test_pallas_shared_prefix_gqa_matches_xla_interpret():
         q, ks, vs, kp, vp, jnp.asarray(prefix_pad), jnp.asarray(smask),
         interpret=True), np.float32)
     np.testing.assert_allclose(got, ref, atol=2e-2)
+
+
+def test_fast_config_engine_coexists_with_exact(monkeypatch):
+    """Config-plumbed backend selection: a fast_pi0_config/
+    fast_verifier_config verified step (flash kernels + fast-math scores)
+    coexists in one process with the exact-config step — no module-global
+    mutation — and selects the same winner on the same inputs."""
+    from cover_vla_tpu.configs import (
+        tiny_pi0_config, tiny_verifier_config, CoVerConfig,
+        fast_pi0_config, fast_verifier_config)
+    from cover_vla_tpu.data.stats import DatasetStatistics
+    from cover_vla_tpu.engine import make_verified_step
+    from cover_vla_tpu.models import pi0, verifier
+    import cover_vla_tpu.ops.pallas_attention as pa
+
+    # interpret-mode pallas on CPU
+    for name in ("pallas_mha_dense", "pallas_shared_prefix_gqa"):
+        orig = getattr(pa, name)
+        monkeypatch.setattr(
+            pa, name,
+            lambda *a, _orig=orig, **kw: _orig(*a, interpret=True, **kw))
+
+    pcfg, vcfg = tiny_pi0_config(), tiny_verifier_config()
+    ccfg = CoVerConfig(n_samples=2, n_rephrases=2)
+    stats = DatasetStatistics.from_json()
+    pp = pi0.init_pi0(jax.random.PRNGKey(0), pcfg)
+    vp = verifier.init_verifier(jax.random.PRNGKey(1), vcfg, num_members=2)
+
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 255, (256, 256, 3), dtype=np.uint8)
+    proprio = rng.uniform(-0.1, 0.1, 7).astype(np.float32)
+    k, t = ccfg.n_rephrases, pcfg.tokenizer_max_length
+    lt = rng.integers(0, pcfg.paligemma.vocab_size, (k, t)).astype(np.int32)
+    lm = np.ones((k, t), bool)
+    vt = rng.integers(0, vcfg.text.vocab_size,
+                      vcfg.text.context_length).astype(np.int32)
+    hist = np.zeros((ccfg.max_history, 7), np.float32)
+
+    fp, fv = fast_pi0_config(pcfg), fast_verifier_config(vcfg)
+    assert fp.decode_attn_impl == "pallas" and fp.fast_math
+    assert fv.vision.attn_impl == "pallas"
+    step_exact = make_verified_step(pcfg, vcfg, ccfg, stats)
+    step_fast = make_verified_step(fp, fv, ccfg, stats)
+    args = (pp, vp, jax.random.PRNGKey(3), raw, proprio, lt, lm, vt,
+            hist, np.int32(0))
+    re_, rf = step_exact(*args), step_fast(*args)
+    assert int(re_.winner_idx) == int(rf.winner_idx)
+    np.testing.assert_allclose(np.asarray(rf.exec_chunk),
+                               np.asarray(re_.exec_chunk),
+                               rtol=0.1, atol=0.05)
