@@ -32,7 +32,7 @@ class BatchedCoVerEngine:
                  policy_tokenizer: Optional[Tokenizer] = None,
                  verifier_tokenizer: Optional[Tokenizer] = None,
                  rephrases: Optional[Dict[str, List[str]]] = None,
-                 seed: int = 0):
+                 seed: int = 0, step_fn=None):
         self.policy_params = policy_params
         self.verifier_params = verifier_params
         self.pcfg, self.vcfg, self.ccfg = pcfg, vcfg, ccfg
@@ -43,8 +43,9 @@ class BatchedCoVerEngine:
         self.verifier_tok = verifier_tokenizer or make_verifier_tokenizer(
             vcfg.text.vocab_size)
         self.rephrases = rephrases or {}
-        self._step_fn = make_verified_step_batched(pcfg, vcfg, ccfg,
-                                                   self.stats)
+        # step_fn lets cohort engines share one jitted program (same E)
+        self._step_fn = step_fn or make_verified_step_batched(
+            pcfg, vcfg, ccfg, self.stats)
         self._key = jax.random.PRNGKey(seed)
         self.reset([""] * num_episodes)
 
@@ -59,6 +60,13 @@ class BatchedCoVerEngine:
         self._exec_queue: List[np.ndarray] = []
         self._verif_queue: List[np.ndarray] = []
         self.last_scores = np.zeros((self.E,), np.float32)
+        # episodes the caller has marked finished: their engine state
+        # (history ring, instruction switches) freezes so lockstep padding
+        # ticks cannot diverge from the per-episode reference records
+        self.done = np.zeros((self.E,), bool)
+
+    def mark_done(self, e: int) -> None:
+        self.done[e] = True
 
     def _prompts(self, e: int) -> List[str]:
         k = self.ccfg.n_rephrases
@@ -108,7 +116,7 @@ class BatchedCoVerEngine:
                 stage2 = np.asarray(res.used_stage2)
                 self.last_scores = np.asarray(res.max_score)
                 for e in range(self.E):
-                    if stage2[e]:
+                    if stage2[e] and not self.done[e]:
                         self.tasks[e] = prompts_at_dispatch[e][int(groups[e])]
                 self._exec_queue = [exec_chunks[:, i]
                                     for i in range(1, chunk)]
@@ -125,10 +133,12 @@ class BatchedCoVerEngine:
         return resolve
 
     def _push_history(self, verif_actions: np.ndarray):
-        self._history = np.roll(self._history, -1, axis=1)
-        self._history[:, -1] = verif_actions
-        self._history_len = np.minimum(self._history_len + 1,
-                                       self.ccfg.max_history)
+        live = ~self.done
+        rolled = np.roll(self._history, -1, axis=1)
+        rolled[:, -1] = verif_actions
+        self._history[live] = rolled[live]
+        self._history_len[live] = np.minimum(
+            self._history_len[live] + 1, self.ccfg.max_history)
 
 
 def evaluate_batched_pipelined(engine_a: BatchedCoVerEngine,
@@ -163,7 +173,7 @@ def evaluate_batched_pipelined(engine_a: BatchedCoVerEngine,
                           for o in state["obs"]]).astype(np.float32)
         return imgs, props
 
-    def advance(state, envs, actions, t):
+    def advance(state, envs, actions, t, engine):
         for e, env in enumerate(envs):
             if state["done"][e]:
                 continue
@@ -174,6 +184,8 @@ def evaluate_batched_pipelined(engine_a: BatchedCoVerEngine,
                 state["done"][e] = state["success"][e] = True
             elif trunc:
                 state["done"][e] = True
+            if state["done"][e]:
+                engine.mark_done(e)   # freeze its history/instruction state
 
     sa = setup(engine_a, envs_a, seeds_a)
     sb = setup(engine_b, envs_b, seeds_b)
@@ -181,15 +193,15 @@ def evaluate_batched_pipelined(engine_a: BatchedCoVerEngine,
     for t in range(max_steps):
         ra = engine_a.step_async(*inputs(sa, envs_a))
         if actions_b is not None:               # host work under A's dispatch
-            advance(sb, envs_b, actions_b, t - 1)
+            advance(sb, envs_b, actions_b, t - 1, engine_b)
         actions_a = ra()
         rb = engine_b.step_async(*inputs(sb, envs_b))
-        advance(sa, envs_a, actions_a, t)       # host work under B's dispatch
+        advance(sa, envs_a, actions_a, t, engine_a)  # host work under B's dispatch
         actions_b = rb()
         if sa["done"].all() and sb["done"].all():
             break
     if actions_b is not None and not sb["done"].all():
-        advance(sb, envs_b, actions_b, t)
+        advance(sb, envs_b, actions_b, t, engine_b)
 
     success = np.concatenate([sa["success"], sb["success"]])
     return {
@@ -236,6 +248,8 @@ def evaluate_batched(engine: BatchedCoVerEngine, envs: Sequence,
                 done[e] = success[e] = True
             elif trunc:
                 done[e] = True
+            if done[e]:
+                engine.mark_done(e)
         if done.all():
             break
 

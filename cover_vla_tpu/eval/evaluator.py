@@ -54,21 +54,36 @@ class EvalConfig:
 
 class CoVerEvaluator:
     def __init__(self, engine: CoVerEngine, cfg: EvalConfig,
-                 env_fn=None):
+                 env_fn=None, stats=None, fractal_stats=None):
+        """stats: DatasetStatistics for the Bridge adapter (defaults to the
+        vendored bridge_statistics.json — should match the ENGINE's stats).
+        fractal_stats: statistics for google_robot (EDR) tasks; the
+        reference loads these from dataset_statistics_path (simpler.py:33).
+        Running a google_robot task without them raises — Bridge bounds
+        would silently mis-normalize fractal-trained checkpoints."""
         self.engine = engine
         self.cfg = cfg
         bench = get_benchmark(cfg.task_suite)()
         self.tasks = bench.tasks
         self.env_fn = env_fn or bench.make
-        self.adapter = BridgeSimplerAdapter()
+        self.adapter = BridgeSimplerAdapter(stats=stats) if stats is not None \
+            else BridgeSimplerAdapter()
         # google-robot (fractal) tasks use the EDR euler adapter with the
         # Octo-style sticky gripper (simpler.py:394-526)
         from cover_vla_tpu.eval.fractal_adapters import EDREulerSimplerAdapter
-        self._fractal_adapter = EDREulerSimplerAdapter(stats=self.adapter.stats)
+        self._fractal_adapter = (
+            EDREulerSimplerAdapter(stats=fractal_stats)
+            if fractal_stats is not None else None)
 
     def _task_adapter(self, task: str):
-        return (self._fractal_adapter if task.startswith("google_robot")
-                else self.adapter)
+        if task.startswith("google_robot"):
+            if self._fractal_adapter is None:
+                raise ValueError(
+                    f"task {task!r} needs fractal dataset statistics "
+                    "(--eval.dataset_statistics pointing at fractal stats); "
+                    "refusing to silently normalize with Bridge bounds")
+            return self._fractal_adapter
+        return self.adapter
 
     def run_episode(self, env, task: str, trial: int, seed: int
                     ) -> EpisodeResult:
@@ -134,6 +149,112 @@ class CoVerEvaluator:
 
         summary = summarize(results)
         return {"summary": summary, "episodes": results}
+
+
+def evaluate_suite_batched(policy_params, verifier_params, pcfg, vcfg, ccfg,
+                           cfg: EvalConfig, n_parallel: int,
+                           env_fn=None, stats=None, rephrases=None,
+                           pipelined: bool = False, seed: int = 0,
+                           policy_tokenizer=None, verifier_tokenizer=None
+                           ) -> Dict:
+    """Suite evaluation through the lockstep-batched engine (the fast
+    path): trials of each task run in cohorts of `n_parallel` episodes, one
+    device dispatch serving the whole cohort per control step — the
+    reference's n_parallel_eval mode (configuration_pipeline.py:125,
+    simplerMS3_evaluator.py:32). With `pipelined=True`, cohorts run in
+    pairs whose host sim-stepping overlaps the other cohort's device
+    dispatch (throughput ≈ bench's pipelined number).
+
+    Cohorts are padded to `n_parallel` with extra seeds so one jitted
+    program serves every cohort; padding episodes are dropped from the
+    results. WidowX convention only (google_robot tasks need the sticky
+    gripper host path — use the per-episode evaluator)."""
+    from cover_vla_tpu.engine.batched_engine import (
+        BatchedCoVerEngine, evaluate_batched, evaluate_batched_pipelined)
+    from cover_vla_tpu.engine.verified_step import make_verified_step_batched
+    from cover_vla_tpu.data.stats import DatasetStatistics
+
+    bench = get_benchmark(cfg.task_suite)()
+    env_fn = env_fn or bench.make
+    for task in bench.tasks:
+        if task.startswith("google_robot"):
+            raise ValueError(
+                f"{task!r}: google_robot suites need the per-episode "
+                "evaluator (sticky-gripper host postprocess); use "
+                "--eval.n_parallel 1")
+    stats = stats or DatasetStatistics.from_json()
+    adapter = BridgeSimplerAdapter(stats=stats)
+    step_fn = make_verified_step_batched(pcfg, vcfg, ccfg, stats)
+
+    def make_engine(s):
+        return BatchedCoVerEngine(
+            policy_params, verifier_params, pcfg, vcfg, ccfg,
+            num_episodes=n_parallel, stats=stats, rephrases=rephrases,
+            seed=s, step_fn=step_fn,
+            policy_tokenizer=policy_tokenizer,
+            verifier_tokenizer=verifier_tokenizer)
+
+    engine_a = make_engine(seed)
+    engine_b = make_engine(seed + 1) if pipelined else None
+
+    per_task: Dict[str, Dict] = {}
+    t_start = time.time()
+    total_control_steps = 0
+    for task in bench.tasks:
+        trials = list(range(cfg.num_trials_per_task))
+        seeds = [cfg.seed + (tr % cfg.seed_period) for tr in trials]
+        # pad the final cohort with fresh seeds; results dropped below
+        pad = (-len(trials)) % n_parallel
+        seeds += [cfg.seed + cfg.seed_period + i for i in range(pad)]
+        cohorts = [seeds[i:i + n_parallel]
+                   for i in range(0, len(seeds), n_parallel)]
+
+        succ: List[bool] = []
+        steps: List[int] = []
+
+        def run_single(cohort_seeds):
+            envs = [env_fn(task) for _ in cohort_seeds]
+            return evaluate_batched(engine_a, envs, adapter,
+                                    max_steps=cfg.max_steps,
+                                    seeds=list(cohort_seeds))
+
+        i = 0
+        while i < len(cohorts):
+            if pipelined and i + 1 < len(cohorts):
+                envs_a = [env_fn(task) for _ in cohorts[i]]
+                envs_b = [env_fn(task) for _ in cohorts[i + 1]]
+                out = evaluate_batched_pipelined(
+                    engine_a, engine_b, envs_a, envs_b, adapter,
+                    max_steps=cfg.max_steps,
+                    seeds_a=list(cohorts[i]), seeds_b=list(cohorts[i + 1]))
+                i += 2
+            else:
+                out = run_single(cohorts[i])
+                i += 1
+            succ += [bool(s) for s in out["success"]]
+            steps += [int(s) for s in out["steps"]]
+        succ, steps = succ[:len(trials)], steps[:len(trials)]
+        total_control_steps += sum(steps)
+        per_task[task] = {
+            "success_rate": float(np.mean(succ)) if succ else 0.0,
+            "episodes": len(succ),
+            "mean_steps": float(np.mean(steps)) if steps else 0.0,
+        }
+
+    all_succ = [s for t in per_task.values()
+                for s in [t["success_rate"]] * t["episodes"]]
+    wall = time.time() - t_start
+    return {
+        "summary": {
+            "per_task": per_task,
+            "overall_success_rate": float(np.mean(all_succ))
+            if all_succ else 0.0,
+            "total_episodes": int(sum(t["episodes"]
+                                      for t in per_task.values())),
+        },
+        "wall_s": wall,
+        "actions_per_sec": total_control_steps / wall if wall > 0 else 0.0,
+    }
 
 
 def summarize(results: List[EpisodeResult]) -> Dict:

@@ -64,6 +64,10 @@ class ServeCfg:
     n_samples: int = 5              # cover mode: candidates per prompt
     n_rephrases: int = 8
     tiny: bool = False
+    # serving a real checkpoint without real tokenizer artifacts emits
+    # garbage — refuse unless explicitly allowed
+    allow_hash_tokenizer: bool = False
+    tokenizer: str = ""             # policy tokenizer path override
 
 
 @dataclass(frozen=True)
@@ -73,9 +77,22 @@ class EvalCfg:
     max_steps: int = 150
     n_samples: int = 5
     n_rephrases: int = 8
+    # >1 routes through the lockstep-batched engine (the reference's
+    # n_parallel_eval, configuration_pipeline.py:125); throughput then
+    # matches bench's batched numbers instead of the single-episode path
+    n_parallel: int = 1
+    # two-cohort pipelined dispatch (2*n_parallel episodes in flight)
+    pipelined: bool = False
     out_dir: str = "eval_out"
     policy_checkpoint: str = ""
     verifier_checkpoint: str = ""
+    # dataset-statistics JSON for BOTH the engine normalization and the env
+    # adapter ("" = vendored bridge stats). google_robot suites REQUIRE an
+    # explicit (fractal) path — Bridge bounds would silently mis-normalize
+    dataset_statistics: str = ""
+    tokenizer: str = ""             # policy tokenizer path override
+    verifier_tokenizer: str = ""
+    allow_hash_tokenizer: bool = False
     tiny: bool = False
     seed: int = 7
 
@@ -363,15 +380,21 @@ def role_train_verifier(cfg: RunCfg):
 def build_server(cfg: RunCfg):
     import jax
     from cover_vla_tpu.configs import Pi0Config, tiny_pi0_config
+    from cover_vla_tpu.data.tokenizer import make_policy_tokenizer
     from cover_vla_tpu.models import pi0
     from cover_vla_tpu.serving import (
         WebsocketPolicyServer, Pi0PolicyWrapper)
-    from cover_vla_tpu.convert import checkpoints
+    from cover_vla_tpu.convert.loaders import (
+        load_policy_params, load_verifier_params)
 
     s = cfg.serve
     mcfg = tiny_pi0_config() if s.tiny else Pi0Config()
+    tok = make_policy_tokenizer(
+        mcfg.paligemma.vocab_size,
+        **({"hf_path": s.tokenizer} if s.tokenizer else {}),
+        strict=bool(s.checkpoint) and not s.allow_hash_tokenizer)
     if s.checkpoint:
-        params = checkpoints.load_params(s.checkpoint)
+        params = load_policy_params(s.checkpoint, mcfg)
     else:
         params = jax.jit(lambda k: pi0.init_pi0(k, mcfg))(
             jax.random.PRNGKey(0))
@@ -384,17 +407,18 @@ def build_server(cfg: RunCfg):
         from cover_vla_tpu.models import verifier
         from cover_vla_tpu.serving.policy_wrapper import CoVerPolicyWrapper
         vcfg = tiny_verifier_config() if s.tiny else VerifierConfig()
-        vp = checkpoints.load_params(s.verifier_checkpoint) \
+        vp = load_verifier_params(s.verifier_checkpoint, vcfg) \
             if s.verifier_checkpoint else jax.jit(
                 lambda k: verifier.init_verifier(k, vcfg, 3))(
                 jax.random.PRNGKey(1))
         engine = CoVerEngine(params, vp, mcfg, vcfg,
                              CoVerConfig(n_samples=s.n_samples,
                                          n_rephrases=s.n_rephrases),
+                             policy_tokenizer=tok,
                              rephrases=load_rephrases())
         policy = CoVerPolicyWrapper(engine)
     else:
-        policy = Pi0PolicyWrapper(params, mcfg)
+        policy = Pi0PolicyWrapper(params, mcfg, tokenizer=tok)
     return WebsocketPolicyServer(policy, s.host, s.port,
                                  metadata={"model": s.mode})
 
@@ -411,26 +435,61 @@ def role_eval(cfg: RunCfg):
     from cover_vla_tpu.configs import (
         Pi0Config, VerifierConfig, CoVerConfig, tiny_pi0_config,
         tiny_verifier_config)
+    from cover_vla_tpu.data.stats import DatasetStatistics
+    from cover_vla_tpu.data.tokenizer import (
+        make_policy_tokenizer, make_verifier_tokenizer)
     from cover_vla_tpu.models import pi0, verifier
     from cover_vla_tpu.engine import CoVerEngine
-    from cover_vla_tpu.eval.evaluator import CoVerEvaluator, EvalConfig
+    from cover_vla_tpu.eval.evaluator import (
+        CoVerEvaluator, EvalConfig, evaluate_suite_batched)
     from cover_vla_tpu.eval.rephrase import load_rephrases
-    from cover_vla_tpu.convert import checkpoints
+    from cover_vla_tpu.convert.loaders import (
+        load_policy_params, load_verifier_params)
 
     e = cfg.eval
     pcfg = tiny_pi0_config() if e.tiny else Pi0Config()
     vcfg = tiny_verifier_config() if e.tiny else VerifierConfig()
     ccfg = CoVerConfig(n_samples=e.n_samples, n_rephrases=e.n_rephrases)
-    pp = checkpoints.load_params(e.policy_checkpoint) if e.policy_checkpoint \
+    # real checkpoints demand real tokenizers unless explicitly overridden
+    strict = bool(e.policy_checkpoint) and not e.allow_hash_tokenizer
+    ptok = make_policy_tokenizer(
+        pcfg.paligemma.vocab_size,
+        **({"hf_path": e.tokenizer} if e.tokenizer else {}), strict=strict)
+    vtok = make_verifier_tokenizer(
+        vcfg.text.vocab_size, hf_path=e.verifier_tokenizer or None,
+        strict=bool(e.verifier_checkpoint) and not e.allow_hash_tokenizer)
+    is_google = e.task_suite.startswith("simpler_google")
+    if is_google and not e.dataset_statistics:
+        raise SystemExit(
+            "google_robot suites require --eval.dataset_statistics "
+            "(fractal statistics); the vendored Bridge bounds would "
+            "silently mis-normalize fractal-trained checkpoints")
+    stats = DatasetStatistics.from_json(e.dataset_statistics) \
+        if e.dataset_statistics else DatasetStatistics.from_json()
+    pp = load_policy_params(e.policy_checkpoint, pcfg) \
+        if e.policy_checkpoint \
         else jax.jit(lambda k: pi0.init_pi0(k, pcfg))(jax.random.PRNGKey(0))
-    vp = checkpoints.load_params(e.verifier_checkpoint) \
+    vp = load_verifier_params(e.verifier_checkpoint, vcfg) \
         if e.verifier_checkpoint else jax.jit(
             lambda k: verifier.init_verifier(k, vcfg, 3))(jax.random.PRNGKey(1))
-    engine = CoVerEngine(pp, vp, pcfg, vcfg, ccfg,
-                         rephrases=load_rephrases(), seed=e.seed)
-    ev = CoVerEvaluator(engine, EvalConfig(
+    ecfg = EvalConfig(
         task_suite=e.task_suite, num_trials_per_task=e.num_trials_per_task,
-        max_steps=e.max_steps, out_dir=e.out_dir, seed=e.seed))
+        max_steps=e.max_steps, out_dir=e.out_dir, seed=e.seed)
+    if e.n_parallel > 1:
+        out = evaluate_suite_batched(
+            pp, vp, pcfg, vcfg, ccfg, ecfg, n_parallel=e.n_parallel,
+            stats=stats, rephrases=load_rephrases(), pipelined=e.pipelined,
+            seed=e.seed, policy_tokenizer=ptok, verifier_tokenizer=vtok)
+        print(json.dumps({**out["summary"],
+                          "actions_per_sec": round(out["actions_per_sec"], 2),
+                          "wall_s": round(out["wall_s"], 2)}, indent=2))
+        return
+    engine = CoVerEngine(pp, vp, pcfg, vcfg, ccfg, stats=stats,
+                         policy_tokenizer=ptok, verifier_tokenizer=vtok,
+                         rephrases=load_rephrases(), seed=e.seed)
+    ev = CoVerEvaluator(engine, ecfg,
+                        stats=None if is_google else stats,
+                        fractal_stats=stats if is_google else None)
     out = ev.evaluate()
     print(json.dumps(out["summary"], indent=2))
 

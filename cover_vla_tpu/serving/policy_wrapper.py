@@ -34,7 +34,10 @@ class Pi0PolicyWrapper:
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer or make_policy_tokenizer(cfg.paligemma.vocab_size)
-        self.adapter = adapter or BridgeSimplerAdapter()
+        # the default adapter must resize to the POLICY's input size
+        # (tiny configs use 56, full-size 224)
+        self.adapter = adapter or BridgeSimplerAdapter(
+            image_size=(cfg.vision.image_size, cfg.vision.image_size))
         self.noise_std = noise_std
         self._key = jax.random.PRNGKey(seed)
 
@@ -50,8 +53,12 @@ class Pi0PolicyWrapper:
         self.adapter.reset()
 
     def switch_model(self, path: str) -> None:
-        from cover_vla_tpu.convert import checkpoints
-        self.params = checkpoints.load_params(path)
+        """Swap the served checkpoint (base_evaluator.py:119-126 iteration,
+        websocket_policy_server.py:75 verb). Any supported format (orbax
+        dir, lerobot safetensors dir/file, torch .pt); params swap only
+        after a successful load, then queues/adapter state reset."""
+        from cover_vla_tpu.convert.loaders import load_policy_params
+        self.params = load_policy_params(path, self.cfg)
         self.reset()
 
     def infer(self, obs: Dict[str, Any]) -> Dict[str, Any]:
@@ -88,7 +95,22 @@ class CoVerPolicyWrapper:
         self.engine.reset(self.engine.original_task)
 
     def switch_model(self, path: str) -> None:
-        raise NotImplementedError("checkpoint switching: use convert API")
+        """Swap the engine's POLICY checkpoint (the reference iterates
+        policy checkpoints; the verifier stays fixed). A
+        "verifier:<path>" prefix switches the verifier ensemble instead
+        (merged .pt reuses the current frozen backbone). The jitted
+        verified_step takes params as arguments, so no retrace happens."""
+        eng = self.engine
+        if path.startswith("verifier:"):
+            from cover_vla_tpu.convert.loaders import load_verifier_params
+            eng.verifier_params = load_verifier_params(
+                path[len("verifier:"):], eng.vcfg,
+                backbone_params=eng.verifier_params.get("backbone")
+                if isinstance(eng.verifier_params, dict) else None)
+        else:
+            from cover_vla_tpu.convert.loaders import load_policy_params
+            eng.policy_params = load_policy_params(path, eng.pcfg)
+        self.reset()
 
     def infer(self, obs: Dict[str, Any]) -> Dict[str, Any]:
         if "reset_task" in obs:

@@ -94,3 +94,50 @@ def test_pipelined_matches_sequential(params):
                              max_steps=8, seeds=[2, 3])
     assert out_p["success"] == out_a["success"] + out_b["success"]
     assert out_p["steps"] == out_a["steps"] + out_b["steps"]
+
+
+def test_evaluate_suite_batched_with_padding(params):
+    """The suite-level batched evaluator (role_eval --eval.n_parallel):
+    cohorts of n_parallel, final cohort padded with fresh seeds and the
+    padding dropped; pipelined mode covers cohort pairs."""
+    from cover_vla_tpu.eval.evaluator import EvalConfig, evaluate_suite_batched
+
+    pp, vp = params
+    cfg = EvalConfig(task_suite="simpler_carrot_on_plate",
+                     num_trials_per_task=3, max_steps=8)
+    out = evaluate_suite_batched(
+        pp, vp, PCFG, VCFG, CCFG, cfg, n_parallel=2, seed=0)
+    s = out["summary"]
+    assert s["total_episodes"] == 3          # padding episode dropped
+    assert "widowx_carrot_on_plate" in s["per_task"]
+    assert s["per_task"]["widowx_carrot_on_plate"]["episodes"] == 3
+    assert out["actions_per_sec"] > 0
+
+    out_p = evaluate_suite_batched(
+        pp, vp, PCFG, VCFG, CCFG, cfg, n_parallel=2, seed=0, pipelined=True)
+    assert out_p["summary"]["total_episodes"] == 3
+
+
+def test_done_episode_state_freezes(params):
+    """mark_done freezes a finished episode's history ring and instruction
+    switches while the cohort drains (per-episode record parity)."""
+    pp, vp = params
+    from cover_vla_tpu.engine.batched_engine import BatchedCoVerEngine
+    eng = BatchedCoVerEngine(pp, vp, PCFG, VCFG, CCFG, num_episodes=2,
+                             seed=0)
+    eng.reset(["task a", "task b"])
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (2, 256, 256, 3), dtype=np.uint8)
+    props = rng.uniform(-0.1, 0.1, (2, 7)).astype(np.float32)
+    eng.step(imgs, props)
+    eng.mark_done(0)
+    h0 = eng._history[0].copy()
+    l0 = int(eng._history_len[0])
+    t0 = eng.tasks[0]
+    for _ in range(PCFG.chunk_size):
+        eng.step(imgs, props)
+    np.testing.assert_array_equal(eng._history[0], h0)
+    assert int(eng._history_len[0]) == l0
+    assert eng.tasks[0] == t0
+    # the live episode's history kept advancing
+    assert int(eng._history_len[1]) > l0 or eng._history_len[1] == CCFG.max_history

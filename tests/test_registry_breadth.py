@@ -65,10 +65,16 @@ def test_fractal_adapter_selected_for_google_tasks():
     pp = jax.jit(lambda k: pi0.init_pi0(k, pcfg))(jax.random.PRNGKey(0))
     vp = jax.jit(lambda k: verifier.init_verifier(k, vcfg, 1))(
         jax.random.PRNGKey(1))
+    from cover_vla_tpu.data.stats import DatasetStatistics
     engine = CoVerEngine(pp, vp, pcfg, vcfg, ccfg, seed=0)
-    ev = CoVerEvaluator(engine, EvalConfig(
-        task_suite="simpler_google_move_near", num_trials_per_task=1,
-        max_steps=6))
+    cfg = EvalConfig(task_suite="simpler_google_move_near",
+                     num_trials_per_task=1, max_steps=6)
+    # google_robot tasks REQUIRE explicit (fractal) statistics — running
+    # them with the default Bridge bounds would silently mis-normalize
+    with pytest.raises(ValueError, match="fractal"):
+        CoVerEvaluator(engine, cfg)._task_adapter("google_robot_move_near")
+    ev = CoVerEvaluator(engine, cfg,
+                        fractal_stats=DatasetStatistics.from_json())
     assert isinstance(ev._task_adapter("google_robot_move_near"),
                       EDREulerSimplerAdapter)
     assert ev._task_adapter("widowx_stack_cube") is ev.adapter
