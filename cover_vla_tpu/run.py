@@ -2,6 +2,7 @@
 
 Roles:
   train            — pi0 finetuning on a trajectory dataset (npz dir)
+  train_pi0fast    — pi0-FAST finetuning (CE over FAST action tokens)
   train_verifier   — verifier contrastive training
   serve_policy     — websocket policy server (pi0 or CoVer engine)
   eval             — closed-loop CoVer evaluation on a benchmark suite
@@ -176,7 +177,7 @@ def role_train(cfg: RunCfg):
         def image_fn(key, imgs):
             x = imgs.astype(jnp.float32) / 255.0 * 2.0 - 1.0
             if imgs.shape[1:3] != (s, s):
-                x = jax.vmap(lambda im: resize_bilinear_torch(im, s, s))(x)
+                x = resize_bilinear_torch(x, s, s)  # batched [B,H,W,C]
             return x
 
     def device_batch(frame_batch, key):
@@ -247,6 +248,103 @@ def role_train(cfg: RunCfg):
                 sinks.log({f"val/{k}": v for k, v in val.items()},
                           step=start + i + 1)
                 log.info("step %d val %s", start + i + 1, val)
+            if (start + i + 1) % t.save_every == 0:
+                checkpoints.save_train_state(
+                    t.checkpoint_dir, start + i + 1, state,
+                    keep_last=t.keep_last)
+    checkpoints.save_train_state(t.checkpoint_dir, t.num_steps, state,
+                                 keep_last=t.keep_last)
+    sinks.close()
+    log.info("done")
+
+
+def role_train_pi0fast(cfg: RunCfg):
+    """pi0-FAST finetuning: teacher-forced CE over FAST action tokens
+    (the reference trains pi0fast through the same trainer entry,
+    modeling_pi0fast.py:685-752). Shares the npz/rlds frame pipeline and
+    checkpoint plumbing with role_train."""
+    import jax
+    import jax.numpy as jnp
+    from cover_vla_tpu.models.pi0fast import (
+        Pi0FastConfig, tiny_pi0fast_config)
+    from cover_vla_tpu.data.pipeline import (
+        FrameDataset, StreamingFrameDataset, interleave, batcher, prefetch)
+    from cover_vla_tpu.data.tokenizer import make_policy_tokenizer
+    from cover_vla_tpu.data.fast_tokenizer import FastActionTokenizer
+    from cover_vla_tpu.parallel.distributed import aggregate_metrics
+    from cover_vla_tpu.training import train_pi0fast
+    from cover_vla_tpu.training.train_pi0 import make_optimizer, shard_batch
+    from cover_vla_tpu.training.optim import warmup_cosine
+    from cover_vla_tpu.convert import checkpoints
+    from cover_vla_tpu.utils.metrics_sink import make_sinks
+    from cover_vla_tpu.utils.monitor import setup_logger, Timer
+    from cover_vla_tpu.ops.image import resize_bilinear_torch
+
+    log = setup_logger("train_pi0fast")
+    t = cfg.train
+    mcfg = tiny_pi0fast_config() if t.tiny else Pi0FastConfig()
+    tok = make_policy_tokenizer(mcfg.paligemma.vocab_size)
+
+    if t.data_format == "rlds":
+        from cover_vla_tpu.data.rlds import RldsShardDataset
+        ds = StreamingFrameDataset(RldsShardDataset(t.dataset_dir),
+                                   chunk_size=mcfg.chunk_size)
+    else:
+        ds = FrameDataset(_load_trajectories(t.dataset_dir),
+                          chunk_size=mcfg.chunk_size)
+
+    s = mcfg.vision.image_size
+
+    @jax.jit
+    def image_fn(imgs):
+        x = imgs.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+        if imgs.shape[1:3] != (s, s):
+            x = resize_bilinear_torch(x, s, s)  # batched [B,H,W,C]
+        return x
+
+    fast = FastActionTokenizer(time_horizon=mcfg.chunk_size, action_dim=7)
+    sinks = make_sinks(
+        jsonl_path=t.metrics_jsonl or os.path.join(t.checkpoint_dir,
+                                                   "metrics.jsonl"),
+        wandb_project=t.wandb_project or None)
+
+    n = len(jax.devices())
+    mesh = None
+    if n > 1 and t.batch_size % n == 0:
+        from cover_vla_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dp=t.dp or None, fsdp=t.fsdp or None)
+    tx = make_optimizer(warmup_cosine(t.lr, t.warmup_steps, t.num_steps),
+                        optimizer=t.optimizer,
+                        accumulate_steps=t.grad_accum)
+    with (mesh or _nullcontext()):
+        state = train_pi0fast.init_train_state(
+            jax.random.PRNGKey(t.seed), mcfg, tx, mesh=mesh)
+        step_fn = train_pi0fast.make_train_step(mcfg, tx, mesh=mesh)
+        start = 0
+        if t.resume:
+            state, start = checkpoints.restore_train_state(
+                t.checkpoint_dir, state)
+            log.info("resumed from step %d", start)
+        timer = Timer()
+        frames = prefetch(batcher(interleave([ds], seed=t.seed,
+                                             shuffle_buffer=t.shuffle_buffer),
+                                  t.batch_size))
+        for i, frame_batch in enumerate(frames):
+            if start + i >= t.num_steps:
+                break
+            batch = train_pi0fast.make_fast_batch(frame_batch, tok, mcfg,
+                                                  fast_tokenizer=fast)
+            batch["images"] = np.asarray(
+                image_fn(np.asarray(frame_batch["image"])))[:, None]
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            state, metrics = step_fn(state, batch)
+            if (start + i) % 10 == 0:
+                m = aggregate_metrics({k: float(v)
+                                       for k, v in metrics.items()})
+                sinks.log(m, step=start + i)
+                log.info("step %d loss %.4f (%.2fs)", start + i,
+                         m["loss"], timer.elapsed())
             if (start + i + 1) % t.save_every == 0:
                 checkpoints.save_train_state(
                     t.checkpoint_dir, start + i + 1, state,
@@ -518,14 +616,16 @@ def main(argv=None):
     cfg = parse(RunCfg, argv)
     role = {
         "train": role_train,
+        "train_pi0fast": role_train_pi0fast,
         "train_verifier": role_train_verifier,
         "serve_policy": role_serve,
         "eval": role_eval,
         "bench": role_bench,
     }.get(cfg.role)
     if role is None:
-        raise SystemExit(f"unknown role {cfg.role!r} "
-                         f"(train|train_verifier|serve_policy|eval|bench)")
+        raise SystemExit(
+            f"unknown role {cfg.role!r} "
+            f"(train|train_pi0fast|train_verifier|serve_policy|eval|bench)")
     role(cfg)
 
 

@@ -115,3 +115,49 @@ def test_policy_select_action_queue():
     a1 = policy.select_action(images, state, ["pick the cube"])
     assert a1.shape == (1, 7)
     assert len(policy._queue) == cfg.n_action_steps - 2
+
+
+def test_fast_batch_prep_and_ce_training_step(tmp_path):
+    """make_fast_batch builds [prompt | FAST action tokens | eos] sequences
+    with a causal suffix mask, and the CE train step reduces the loss
+    (reference trains pi0fast through the same trainer,
+    modeling_pi0fast.py:685-752)."""
+    from cover_vla_tpu.data.tokenizer import HashTokenizer
+    from cover_vla_tpu.models.pi0fast import (
+        tiny_pi0fast_config, paligemma_to_act_tokens)
+    from cover_vla_tpu.training import train_pi0fast
+    from cover_vla_tpu.training.optim import warmup_cosine
+    from cover_vla_tpu.training.train_pi0 import make_optimizer
+
+    cfg = tiny_pi0fast_config()
+    tok = HashTokenizer(cfg.paligemma.vocab_size)
+    rng = np.random.default_rng(0)
+    b, s = 4, cfg.vision.image_size
+    frames = {
+        "image": rng.integers(0, 255, (b, s, s, 3), dtype=np.uint8),
+        "state": rng.uniform(-1, 1, (b, 7)).astype(np.float32),
+        "actions": rng.uniform(-0.5, 0.5, (b, cfg.chunk_size, 7)
+                               ).astype(np.float32),
+        "task": ["put the carrot on the plate"] * b,
+    }
+    batch = train_pi0fast.make_fast_batch(frames, tok, cfg)
+    assert batch["tokens"].shape == (b, cfg.max_input_seq_len)
+    assert batch["suffix_mask"].dtype == bool
+    # suffix tokens decode back into the FAST action-token range
+    for i in range(b):
+        suf = batch["tokens"][i][batch["suffix_mask"][i]]
+        assert suf[-1] == cfg.eos_token_id
+        fast_toks = paligemma_to_act_tokens(suf[:-1].astype(np.int64), cfg)
+        assert (fast_toks >= 0).all()
+        # prompt and suffix spans are disjoint and contiguous
+        pm, sm = batch["pad_mask"][i], batch["suffix_mask"][i]
+        assert not (sm & ~pm).any()
+
+    tx = make_optimizer(warmup_cosine(1e-3, 2, 30))
+    state = train_pi0fast.init_train_state(jax.random.PRNGKey(0), cfg, tx)
+    step = train_pi0fast.make_train_step(cfg, tx)
+    losses = []
+    for i in range(12):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses
