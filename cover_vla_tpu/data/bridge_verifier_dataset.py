@@ -58,6 +58,25 @@ def _stream_json_field(path: str, key: str, chunk_size: int = 1 << 16):
                 raise ValueError(f"truncated JSON while streaming {key!r}")
             buf += chunk
 
+        def decode_value():
+            # raw_decode succeeds on a TRUNCATED number/literal ('123' of
+            # '12345' straddling a chunk boundary) — a scalar is only
+            # complete when at least one delimiter char of lookahead
+            # follows it, so refill-and-retry until end < len(buf)
+            nonlocal buf
+            buf = buf.lstrip()
+            while True:
+                try:
+                    v, end = dec.raw_decode(buf)
+                except ValueError:
+                    refill()
+                    buf = buf.lstrip()
+                    continue
+                if end == len(buf):
+                    refill()   # raises at genuine EOF (truncated field)
+                    continue
+                return v, end
+
         while True:
             buf = buf.lstrip()
             while not buf:
@@ -81,21 +100,11 @@ def _stream_json_field(path: str, key: str, chunk_size: int = 1 << 16):
                     refill()
                     buf = buf.lstrip()
                 buf = buf[1:]
-                while True:
-                    try:
-                        v, end = dec.raw_decode(buf.lstrip())
-                        break
-                    except ValueError:
-                        refill()
-                buf = buf.lstrip()[end:]
+                v, end = decode_value()
+                buf = buf[end:]
                 yield k, v
             else:
-                while True:
-                    try:
-                        v, end = dec.raw_decode(buf)
-                        break
-                    except ValueError:
-                        refill()
+                v, end = decode_value()
                 buf = buf[end:]
                 yield v
 

@@ -120,10 +120,25 @@ def standardize_generic(traj: Trajectory, cfg: OXEDatasetConfig
         pad[:, :k] = states[:, :k]
         states = pad
 
-    if cfg.gripper_convention == "closedness" and states.shape[-1] == 7:
-        states = states.copy()
-        states[:, 6] = 1.0 - states[:, 6]
-    return {**traj, "states": states.astype(np.float32)}
+    out_traj = {**traj}
+    if cfg.gripper_convention == "closedness":
+        # invert only where index 6 IS a gripper: POS_* proprio layouts
+        # (JOINT/NAV place a joint there) and EEF_POS actions — matching
+        # the reference's per-dataset standardization transforms, which
+        # flip BOTH proprio and action closedness grippers
+        if cfg.proprio in (ProprioEncoding.POS_EULER,
+                           ProprioEncoding.POS_QUAT) \
+                and states.shape[-1] == 7:
+            states = states.copy()
+            states[:, 6] = 1.0 - states[:, 6]
+        if cfg.action == ActionEncoding.EEF_POS and "actions" in traj:
+            actions = np.asarray(traj["actions"], np.float64)
+            if actions.ndim >= 2 and actions.shape[-1] == 7:
+                actions = actions.copy()
+                actions[..., 6] = 1.0 - actions[..., 6]
+                out_traj["actions"] = actions.astype(np.float32)
+    out_traj["states"] = states.astype(np.float32)
+    return out_traj
 
 
 def standardize(name: str, traj: Trajectory) -> Trajectory:

@@ -82,6 +82,103 @@ class TemplateBackend:
         return out
 
 
+class OpenAICompatibleBackend:
+    """Chat-completions HTTP backend (the reference generates rephrases via
+    the OpenAI client with an image-conditioned batch prompt,
+    bridge_verifier/lang_transform_vlm.py:14-224). Pure-stdlib urllib so it
+    works against any OpenAI-compatible endpoint (vLLM, llama.cpp, ...).
+
+    Disabled by default in air-gapped environments: construction raises
+    unless an API key (argument or OPENAI_API_KEY) is configured — callers
+    use `make_backend("auto")` to fall back to the TemplateBackend."""
+
+    def __init__(self, base_url: Optional[str] = None,
+                 api_key: Optional[str] = None,
+                 model: str = "gpt-4o", timeout_s: float = 60.0,
+                 max_retries: int = 2):
+        import os
+        self.base_url = (base_url or os.environ.get(
+            "OPENAI_BASE_URL", "https://api.openai.com/v1")).rstrip("/")
+        self.api_key = api_key or os.environ.get("OPENAI_API_KEY", "")
+        if not self.api_key:
+            raise ValueError(
+                "OpenAICompatibleBackend needs an API key (pass api_key= or "
+                "set OPENAI_API_KEY); use make_backend('auto') for the "
+                "offline template fallback")
+        self.model = model
+        self.timeout_s = timeout_s
+        self.max_retries = max_retries
+
+    # prompt mirrors the reference's numbered-list batch request
+    # (system_prompts/rephrase_batch.txt semantics)
+    def _messages(self, instruction: str, n: int,
+                  image: Optional[bytes]) -> List[Dict]:
+        text = (
+            f"Rephrase the robot-manipulation instruction below {n} "
+            "different ways. Keep the meaning and the referenced objects "
+            "identical; vary only the phrasing. Reply with a numbered "
+            f"list of exactly {n} rephrases and nothing else.\n\n"
+            f"Instruction: {instruction}")
+        content: List[Dict] = [{"type": "text", "text": text}]
+        if image is not None:
+            import base64
+            b64 = base64.b64encode(image).decode()
+            content.append({"type": "image_url", "image_url": {
+                "url": f"data:image/png;base64,{b64}"}})
+        return [{"role": "user", "content": content}]
+
+    @staticmethod
+    def _parse(text: str) -> List[str]:
+        out = []
+        for line in text.splitlines():
+            line = re.sub(r"^\s*(?:\d+[\.\)]\s*|[-*]\s+)", "", line).strip()
+            line = line.strip('"').strip()
+            if line and line not in out:
+                out.append(line)
+        return out
+
+    def rephrase(self, instruction: str, n: int,
+                 image: Optional[bytes] = None) -> List[str]:
+        import urllib.request
+        payload = json.dumps({
+            "model": self.model,
+            "messages": self._messages(instruction, n, image),
+            "temperature": 1.0,
+        }).encode()
+        req = urllib.request.Request(
+            self.base_url + "/chat/completions", data=payload,
+            headers={"Content-Type": "application/json",
+                     "Authorization": f"Bearer {self.api_key}"})
+        last_err: Optional[Exception] = None
+        for _ in range(self.max_retries + 1):
+            try:
+                with urllib.request.urlopen(req,
+                                            timeout=self.timeout_s) as resp:
+                    body = json.loads(resp.read().decode())
+                text = body["choices"][0]["message"]["content"]
+                return self._parse(text)[:n]
+            except Exception as e:  # noqa: BLE001 — retry then surface
+                last_err = e
+        raise RuntimeError(
+            f"rephrase request failed after {self.max_retries + 1} "
+            f"attempts: {last_err}") from last_err
+
+
+def make_backend(kind: str = "auto", seed: int = 0, **kw) -> VLMBackend:
+    """"template" | "openai" | "auto" (openai when an API key is
+    configured, template otherwise)."""
+    if kind == "template":
+        return TemplateBackend(seed)
+    if kind == "openai":
+        return OpenAICompatibleBackend(**kw)
+    if kind == "auto":
+        try:
+            return OpenAICompatibleBackend(**kw)
+        except ValueError:
+            return TemplateBackend(seed)
+    raise ValueError(f"unknown backend {kind!r} (template|openai|auto)")
+
+
 class LangTransform:
     """Instruction transformations (lang_transform_vlm.py:14+)."""
 
@@ -147,10 +244,17 @@ def main(argv=None):
     ap.add_argument("out_path")
     ap.add_argument("--n-per-task", type=int, default=33)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--backend", default="template",
+                    choices=["template", "openai", "auto"],
+                    help="openai = OpenAI-compatible HTTP endpoint "
+                         "(OPENAI_API_KEY/OPENAI_BASE_URL)")
+    ap.add_argument("--model", default="gpt-4o")
     args = ap.parse_args(argv)
     instructions = sorted(set(TASK_INSTRUCTIONS.values()))
+    backend = make_backend(args.backend, seed=args.seed, model=args.model) \
+        if args.backend != "template" else None
     store = generate_rephrase_store(instructions, args.n_per_task,
-                                    seed=args.seed)
+                                    backend=backend, seed=args.seed)
     with open(args.out_path, "w") as f:
         json.dump(store, f, indent=2)
     print(f"wrote {len(instructions)} tasks -> {args.out_path}")

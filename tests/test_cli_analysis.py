@@ -202,3 +202,64 @@ def test_analyze_compare_runs(tmp_path):
     # CLI path
     analyze.main([a, "--partial", "--switches", "--compare", f"B={b}",
                   "--seed-period", "2"])
+
+
+def test_openai_backend_parse_and_fallback(monkeypatch):
+    """OpenAI-compatible HTTP rephrase backend: request/parse round-trip
+    against a stubbed endpoint; make_backend('auto') falls back to the
+    template backend without a key (air-gapped default)."""
+    import io
+    import json as _json
+    import urllib.request
+    from cover_vla_tpu.eval.lang_transform import (
+        OpenAICompatibleBackend, TemplateBackend, make_backend)
+
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    assert isinstance(make_backend("auto"), TemplateBackend)
+    with pytest.raises(ValueError):
+        OpenAICompatibleBackend()
+
+    captured = {}
+
+    class _Resp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout=None):
+        captured["url"] = req.full_url
+        captured["body"] = _json.loads(req.data.decode())
+        captured["auth"] = req.headers.get("Authorization")
+        return _Resp(_json.dumps({"choices": [{"message": {"content":
+            "1. place the carrot on the dish\n"
+            "2) set the carrot onto the plate\n"
+            "- move the carrot to the plate\n"}}]}).encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    be = make_backend("openai", api_key="k", base_url="http://fake/v1",
+                      model="test-model")
+    out = be.rephrase("put carrot on plate", 3, image=b"\x89PNG")
+    assert out == ["place the carrot on the dish",
+                   "set the carrot onto the plate",
+                   "move the carrot to the plate"]
+    assert captured["url"] == "http://fake/v1/chat/completions"
+    assert captured["auth"] == "Bearer k"
+    content = captured["body"]["messages"][0]["content"]
+    assert content[1]["type"] == "image_url"   # image-conditioned prompt
+
+
+def test_stream_json_scalar_at_chunk_boundary(tmp_path):
+    """A bare number straddling the read-chunk boundary must not be split
+    into two elements (raw_decode accepts truncated scalars)."""
+    from cover_vla_tpu.data.bridge_verifier_dataset import _stream_json_field
+    # chunk_size chosen so '123456789' splits across reads
+    arr = [111, 123456789, 222]
+    doc = '{"pad": "' + "x" * 10 + '", "vals": [111, 123456789, 222]}'
+    p = tmp_path / "doc.json"
+    p.write_text(doc)
+    idx = doc.find("123456789")
+    for cs in (idx + 3, idx + 5, 16, 7):
+        got = list(_stream_json_field(str(p), "vals", chunk_size=cs))
+        assert got == arr, (cs, got)

@@ -105,3 +105,35 @@ def test_streaming_mix_over_shards(tmp_path):
     assert frames[0]["state"].shape == (2, 7)
     tasks = {t for b in frames for t in b["task"]}
     assert tasks == {"bridge_dataset task", "fractal20220817_data task"}
+
+
+def test_closedness_inversion_scoped_to_gripper_layouts():
+    """The closedness gripper flip applies only where index 6 IS a gripper
+    (POS_EULER/POS_QUAT proprio), and also flips EEF_POS action grippers —
+    never JOINT placeholder layouts."""
+    import numpy as np
+    from cover_vla_tpu.data.oxe import (
+        OXEDatasetConfig, ProprioEncoding, ActionEncoding,
+        standardize_generic)
+
+    t = 3
+    base = {
+        "images": np.zeros((t, 8, 8, 3), np.uint8),
+        "states": np.tile(np.asarray([[.1, .2, .3, 0, 0, 0, 1.0]],
+                                     np.float64), (t, 1)),
+        "actions": np.tile(np.asarray([[0, 0, 0, 0, 0, 0, 1.0]],
+                                      np.float64), (t, 1)),
+    }
+    closed_euler = OXEDatasetConfig(
+        name="x", image_key="image", proprio=ProprioEncoding.POS_EULER,
+        action=ActionEncoding.EEF_POS, gripper_convention="closedness")
+    out = standardize_generic(dict(base), closed_euler)
+    assert np.allclose(out["states"][:, 6], 0.0)   # proprio flipped
+    assert np.allclose(out["actions"][:, 6], 0.0)  # action flipped too
+
+    joint = OXEDatasetConfig(
+        name="y", image_key="image", proprio=ProprioEncoding.JOINT,
+        action=ActionEncoding.JOINT_POS, gripper_convention="closedness")
+    out = standardize_generic(dict(base), joint)
+    assert np.allclose(out["states"][:, 6], 1.0)   # joint 6 untouched
+    assert np.allclose(out["actions"][:, 6], 1.0)
