@@ -47,6 +47,7 @@ class TrainCfg:
     paraphrase_json: str = ""   # rephrase store for ParaphraseAugment
     paraphrase_prob: float = 0.5
     val_every: int = 0          # 0 = no validation (trainer.py:347-383)
+    val_batches: int = 4        # held-out batches rolled per validation
     val_fraction: float = 0.1   # held-out fraction (verifier training)
     num_members: int = 3        # verifier ensemble size
     metrics_jsonl: str = ""     # default: <checkpoint_dir>/metrics.jsonl
@@ -222,12 +223,14 @@ def role_train(cfg: RunCfg):
         frames = prefetch(batcher(interleave([ds], seed=t.seed,
                                               shuffle_buffer=t.shuffle_buffer),
                                   t.batch_size))
-        val_batch = None
+        val_set = []
         if t.val_every:
-            # hold out the first batch as the rolling validation set
-            # (trainer.py:347-383 validates select_action against GT)
-            val_batch = device_batch(next(frames),
-                                     jax.random.PRNGKey(t.seed - 1))
+            # hold out a STREAM of batches as the validation set; each
+            # validation rolls select_action over all of them and averages
+            # (trainer.py:347-383 validates a rolling stream, not one batch)
+            for vb in range(max(1, t.val_batches)):
+                val_set.append(device_batch(
+                    next(frames), jax.random.PRNGKey(t.seed - 1 - vb)))
         for i, frame_batch in enumerate(frames):
             if start + i >= t.num_steps:
                 break
@@ -243,7 +246,10 @@ def role_train(cfg: RunCfg):
                 log.info("step %d loss %.4f (%.2fs)", start + i,
                          m["loss"], timer.elapsed())
             if t.val_every and (start + i + 1) % t.val_every == 0:
-                val = validate_pi0(state.params, mcfg, val_batch)
+                vms = [validate_pi0(state.params, mcfg, vb, seed=vi)
+                       for vi, vb in enumerate(val_set)]
+                val = {k: float(np.mean([m[k] for m in vms]))
+                       for k in vms[0]}
                 val = aggregate_metrics(val)
                 sinks.log({f"val/{k}": v for k, v in val.items()},
                           step=start + i + 1)

@@ -43,8 +43,11 @@ def _load_reference_module():
     return mod
 
 
-@pytest.fixture(scope="module")
-def reference_setup():
+def _build_reference_pair(width, ewidth, depth, heads, kv, hd,
+                          pg_mlp=128, ex_mlp=64):
+    """Build the reference PaliGemmaWithExpertModel at the given geometry
+    and convert its weights; shared by the tiny fixture and the full-dim
+    spot check."""
     try:
         mod = _load_reference_module()
     except Exception as e:  # reference tree or deps unavailable
@@ -52,13 +55,11 @@ def reference_setup():
 
     from transformers import PretrainedConfig
     from transformers.models.auto import CONFIG_MAPPING
-
-    width, ewidth, depth, heads, kv, hd = 64, 32, 2, 4, 1, 16
     pg_cfg = CONFIG_MAPPING["paligemma"](
         _vocab_size=256, hidden_size=width, projection_dim=width,
         text_config={
             "hidden_activation": "gelu_pytorch_tanh", "hidden_size": width,
-            "intermediate_size": 128, "model_type": "gemma",
+            "intermediate_size": pg_mlp, "model_type": "gemma",
             "num_attention_heads": heads, "num_hidden_layers": depth,
             "num_key_value_heads": kv, "head_dim": hd, "vocab_size": 256,
             "torch_dtype": "float32",
@@ -71,7 +72,7 @@ def reference_setup():
             "vision_use_head": False,
         })
     ex_cfg = CONFIG_MAPPING["gemma"](
-        hidden_size=ewidth, intermediate_size=64, num_hidden_layers=depth,
+        hidden_size=ewidth, intermediate_size=ex_mlp, num_hidden_layers=depth,
         num_attention_heads=heads, num_key_value_heads=kv, head_dim=hd,
         vocab_size=256, hidden_activation="gelu_pytorch_tanh",
         attention_bias=False, rms_norm_eps=1e-6, rope_theta=10000.0)
@@ -89,10 +90,10 @@ def reference_setup():
     ref = mod.PaliGemmaWithExpertModel(cfg)
     ref.train(False)  # note: the reference's train() override returns None
 
-    our_pg = GemmaConfig(width=width, depth=depth, mlp_dim=128,
+    our_pg = GemmaConfig(width=width, depth=depth, mlp_dim=pg_mlp,
                          num_heads=heads, num_kv_heads=kv, head_dim=hd,
                          vocab_size=256)
-    our_ex = GemmaConfig(width=ewidth, depth=depth, mlp_dim=64,
+    our_ex = GemmaConfig(width=ewidth, depth=depth, mlp_dim=ex_mlp,
                          num_heads=heads, num_kv_heads=kv, head_dim=hd)
 
     sd = {k: v.detach().float().numpy() for k, v in ref.state_dict().items()}
@@ -122,6 +123,11 @@ def reference_setup():
     ex_params = pi0_from_torch.convert_gemma(sd, our_ex, "gemma_expert.model",
                                              embed=False, dtype=jnp.bfloat16)
     return mod, ref, our_pg, our_ex, pg_params, ex_params
+
+
+@pytest.fixture(scope="module")
+def reference_setup():
+    return _build_reference_pair(64, 32, 2, 4, 1, 16)
 
 
 def _mask_and_positions(pad, att):
@@ -279,7 +285,7 @@ def _build_tiny_flow_matching(pwe, mpi0):
         _vocab_size=256, hidden_size=width, projection_dim=width,
         text_config={
             "hidden_activation": "gelu_pytorch_tanh", "hidden_size": width,
-            "intermediate_size": 128, "model_type": "gemma",
+            "intermediate_size": pg_mlp, "model_type": "gemma",
             "num_attention_heads": heads, "num_hidden_layers": depth,
             "num_key_value_heads": kv, "head_dim": hd, "vocab_size": 256,
             "torch_dtype": "float32",
@@ -292,7 +298,7 @@ def _build_tiny_flow_matching(pwe, mpi0):
             "vision_use_head": False,
         })
     ex_cfg = CONFIG_MAPPING["gemma"](
-        hidden_size=ewidth, intermediate_size=64, num_hidden_layers=depth,
+        hidden_size=ewidth, intermediate_size=ex_mlp, num_hidden_layers=depth,
         num_attention_heads=heads, num_key_value_heads=kv, head_dim=hd,
         vocab_size=256, hidden_activation="gelu_pytorch_tanh",
         attention_bias=False, rms_norm_eps=1e-6, rope_theta=10000.0)
@@ -490,3 +496,48 @@ def test_cached_decode_matches_reference(reference_setup):
     np.testing.assert_allclose(np.asarray(ours, np.float32),
                                ref_suffix.float().numpy(),
                                rtol=0.08, atol=0.08)
+
+
+def test_fused_forward_full_dim_layer_pair():
+    """Accumulation-drift bound at REFERENCE geometry: one layer pair at
+    the real widths (PaliGemma 2048/16384, expert 1024/4096, 8q/1kv/256d —
+    paligemma_with_expert.py:81-150) on a single batch row. Tiny 2-layer
+    models can mask accumulation-order drift; this pins the bf16 deviation
+    at the true matmul shapes (depth 1 — per-layer numerics are depth-
+    independent, the fused stack is the scanned repeat of this body)."""
+    mod, ref, our_pg, our_ex, pg_params, ex_params = _build_reference_pair(
+        2048, 1024, 1, 8, 1, 256, pg_mlp=16384, ex_mlp=4096)
+    rng = np.random.default_rng(1)
+    b, p_len, s_len = 1, 128, 5
+    prefix = rng.standard_normal((b, p_len, our_pg.width)).astype(np.float32)
+    suffix = rng.standard_normal((b, s_len, our_ex.width)).astype(np.float32)
+    pad = np.ones((b, p_len + s_len), bool)
+    att = np.concatenate([np.zeros((b, p_len), np.int64),
+                          np.asarray([[1, 1, 0, 0, 0]] * b)], axis=1)
+    mask, positions = _mask_and_positions(pad, att)
+
+    with torch.no_grad():
+        (ref_prefix, ref_suffix), _ = ref.forward(
+            attention_mask=torch.from_numpy(mask),
+            position_ids=torch.from_numpy(positions),
+            past_key_values=None,
+            inputs_embeds=[torch.from_numpy(prefix).to(torch.bfloat16),
+                           torch.from_numpy(suffix).to(torch.bfloat16)],
+            use_cache=False, fill_kv_cache=False)
+
+    our_prefix, our_suffix = gemma.fused_forward(
+        pg_params, ex_params, our_pg, our_ex,
+        jnp.asarray(prefix), jnp.asarray(suffix),
+        jnp.asarray(positions), jnp.asarray(mask))
+
+    rp = ref_prefix.float().numpy()
+    rs = ref_suffix.float().numpy()
+    op = np.asarray(our_prefix, np.float32)
+    os_ = np.asarray(our_suffix, np.float32)
+    # relative-to-scale deviation: bf16 rounding at width-16384
+    # contractions; anything beyond ~1% of the activation scale would
+    # indicate an accumulation-order bug rather than rounding
+    for ours, theirs in ((op, rp), (os_, rs)):
+        scale = np.abs(theirs).max()
+        dev = np.abs(ours - theirs).max() / scale
+        assert dev < 0.02, f"relative deviation {dev:.4f} at full dims"
