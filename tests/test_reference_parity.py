@@ -281,6 +281,7 @@ def _build_tiny_flow_matching(pwe, mpi0):
     t = _TINY
     width, ewidth, depth = t["width"], t["ewidth"], t["depth"]
     heads, kv, hd, chunk = t["heads"], t["kv"], t["hd"], t["chunk"]
+    pg_mlp, ex_mlp = 128, 64  # matches the cover_vla_tpu config below
     pg_cfg = CONFIG_MAPPING["paligemma"](
         _vocab_size=256, hidden_size=width, projection_dim=width,
         text_config={
