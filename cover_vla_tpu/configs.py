@@ -268,6 +268,13 @@ class CoVerConfig:
     rescore_threshold: float = 0.1  # stage-2 gate (:354)
     max_history: int = 6          # past verifier actions kept (eval_utils.py:208)
     gripper_vote: bool = True
+    # candidate selection mode: "verifier" (two-stage verified selection,
+    # the CoVer loop) | "random" (uniform over the K*N candidates) |
+    # "first" (always candidate 0 == a single policy sample — the plain-pi0
+    # baseline). The ablation axes of the reference's headline table
+    # (README.md:136-155: pi0 vs pi0+CoVer); "random"/"first" skip the
+    # verifier entirely.
+    selection: str = "verifier"
 
     @property
     def batch_size(self) -> int:

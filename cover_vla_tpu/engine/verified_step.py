@@ -116,6 +116,8 @@ def _build_step(pcfg: Pi0Config, vcfg: VerifierConfig,
         history_len: int32 in [0, max_history].
         """
         # 1-2. observation preprocessing ---------------------------------
+        if ccfg.selection == "random":
+            key, sel_key = jax.random.split(key)
         img = _policy_image(raw_image, pcfg.vision.image_size)
         state_norm = 2 * (proprio - p_p01) / (p_p99 - p_p01 + 1e-8) - 1
         state_norm = jnp.clip(state_norm, -1, 1)
@@ -149,20 +151,35 @@ def _build_step(pcfg: Pi0Config, vcfg: VerifierConfig,
         traj = jnp.where(valid, traj, vcfg.action_padding_value)
 
         # 6. verifier scoring under the current instruction --------------
-        vimg = _verifier_image(raw_image, vcfg.vision.image_size)
-        scores = verifier.score_actions(
-            verifier_params, vcfg, vimg, verifier_tokens[None], traj)
+        # (skipped entirely for the ablation baselines — "random"/"first"
+        #  are the no-verifier arms of the reference's headline comparison)
+        if ccfg.selection == "verifier":
+            vimg = _verifier_image(raw_image, vcfg.vision.image_size)
+            scores = verifier.score_actions(
+                verifier_params, vcfg, vimg, verifier_tokens[None], traj)
 
-        # 7. two-stage selection, branch-free ----------------------------
-        score0 = scores[0]
-        grouped = scores.reshape(K, N)
-        group_means = jnp.mean(grouped, axis=1)
-        best_group = jnp.argmax(group_means)
-        best_in_group = jnp.argmax(grouped[best_group])
-        stage2_idx = best_group * N + best_in_group
-        used_stage2 = score0 < ccfg.rescore_threshold
-        winner = jnp.where(used_stage2, stage2_idx, 0)
-        max_score = jnp.where(used_stage2, scores[stage2_idx], score0)
+            # 7. two-stage selection, branch-free ------------------------
+            score0 = scores[0]
+            grouped = scores.reshape(K, N)
+            group_means = jnp.mean(grouped, axis=1)
+            best_group = jnp.argmax(group_means)
+            best_in_group = jnp.argmax(grouped[best_group])
+            stage2_idx = best_group * N + best_in_group
+            used_stage2 = score0 < ccfg.rescore_threshold
+            winner = jnp.where(used_stage2, stage2_idx, 0)
+            max_score = jnp.where(used_stage2, scores[stage2_idx], score0)
+        elif ccfg.selection == "random":
+            scores = jnp.zeros((K * N,), jnp.float32)
+            winner = jax.random.randint(sel_key, (), 0, K * N)
+            max_score = jnp.float32(0.0)
+            used_stage2 = jnp.bool_(False)
+        elif ccfg.selection == "first":
+            scores = jnp.zeros((K * N,), jnp.float32)
+            winner = jnp.int32(0)
+            max_score = jnp.float32(0.0)
+            used_stage2 = jnp.bool_(False)
+        else:
+            raise ValueError(f"unknown selection mode {ccfg.selection!r}")
 
         exec_chunk = exec_chunks[winner]
         verifier_chunk = verif_chunks[winner]

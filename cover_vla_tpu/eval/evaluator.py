@@ -155,8 +155,8 @@ def evaluate_suite_batched(policy_params, verifier_params, pcfg, vcfg, ccfg,
                            cfg: EvalConfig, n_parallel: int,
                            env_fn=None, stats=None, rephrases=None,
                            pipelined: bool = False, seed: int = 0,
-                           policy_tokenizer=None, verifier_tokenizer=None
-                           ) -> Dict:
+                           policy_tokenizer=None, verifier_tokenizer=None,
+                           out_dir: Optional[str] = None) -> Dict:
     """Suite evaluation through the lockstep-batched engine (the fast
     path): trials of each task run in cohorts of `n_parallel` episodes, one
     device dispatch serving the whole cohort per control step — the
@@ -235,10 +235,22 @@ def evaluate_suite_batched(policy_params, verifier_params, pcfg, vcfg, ccfg,
             steps += [int(s) for s in out["steps"]]
         succ, steps = succ[:len(trials)], steps[:len(trials)]
         total_control_steps += sum(steps)
+        episodes = [{"task": task, "trial": tr, "seed": seeds[tr],
+                     "success": succ[tr], "num_steps": steps[tr]}
+                    for tr in trials]
+        if out_dir:  # analyzer-compatible per-episode records
+            os.makedirs(out_dir, exist_ok=True)
+            for ep in episodes:
+                stem = (f"episode_{task}_trial{ep['trial']}_"
+                        f"seed{ep['seed']}_"
+                        f"{'success' if ep['success'] else 'failure'}")
+                with open(os.path.join(out_dir, stem + ".pkl"), "wb") as f:
+                    pickle.dump(ep, f)
         per_task[task] = {
             "success_rate": float(np.mean(succ)) if succ else 0.0,
             "episodes": len(succ),
             "mean_steps": float(np.mean(steps)) if steps else 0.0,
+            "per_episode": episodes,
         }
 
     all_succ = [s for t in per_task.values()

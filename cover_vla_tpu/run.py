@@ -79,6 +79,9 @@ class EvalCfg:
     max_steps: int = 150
     n_samples: int = 5
     n_rephrases: int = 8
+    # candidate selection: verifier (CoVer loop) | random | first — the
+    # ablation arms of the reference's headline table (README.md:136-155)
+    selection: str = "verifier"
     # >1 routes through the lockstep-batched engine (the reference's
     # n_parallel_eval, configuration_pipeline.py:125); throughput then
     # matches bench's batched numbers instead of the single-episode path
@@ -553,7 +556,9 @@ def role_eval(cfg: RunCfg):
     e = cfg.eval
     pcfg = tiny_pi0_config() if e.tiny else Pi0Config()
     vcfg = tiny_verifier_config() if e.tiny else VerifierConfig()
-    ccfg = CoVerConfig(n_samples=e.n_samples, n_rephrases=e.n_rephrases)
+    ccfg = CoVerConfig(n_samples=e.n_samples, n_rephrases=e.n_rephrases,
+                       selection=e.selection,
+                       gripper_vote=(e.selection == "verifier"))
     # real checkpoints demand real tokenizers unless explicitly overridden
     strict = bool(e.policy_checkpoint) and not e.allow_hash_tokenizer
     ptok = make_policy_tokenizer(

@@ -129,3 +129,43 @@ def test_cover_engine_episode(params, obs):
     # instruction is one of the prompts
     assert engine.task in ("put the spoon on the towel",
                            "place spoon on towel")
+
+
+def test_selection_mode_ablations(params, obs):
+    """selection="first" always executes candidate 0; "random" picks
+    key-dependent candidates uniformly; both skip the verifier (zero
+    scores, no stage-2/instruction switch) — the no-verifier arms of the
+    reference's headline ablation (README.md:136-155)."""
+    pp, vp = params
+    raw, proprio, lt, lm, vt, hist = obs
+
+    first = make_verified_step(PCFG, VCFG, replace(CCFG, selection="first"),
+                               STATS)
+    rand = make_verified_step(PCFG, VCFG, replace(CCFG, selection="random"),
+                              STATS)
+    rf = first(pp, vp, jax.random.PRNGKey(3), raw, proprio, lt, lm, vt,
+               hist, np.int32(0))
+    assert int(rf.winner_idx) == 0
+    assert not bool(rf.used_stage2)
+    np.testing.assert_array_equal(np.asarray(rf.scores), 0.0)
+
+    winners = {int(rand(pp, vp, jax.random.PRNGKey(k), raw, proprio, lt,
+                        lm, vt, hist, np.int32(0)).winner_idx)
+               for k in range(8)}
+    assert winners <= set(range(CCFG.batch_size))
+    assert len(winners) > 1, "random selection should vary with the key"
+
+    # the executed chunk matches the winner's candidate exactly: recompute
+    # with selection="verifier" (same noise stream as "first") and compare
+    # candidate 0 against the "first" arm's unvoted body dims
+    ver = make_verified_step(PCFG, VCFG, replace(
+        CCFG, selection="verifier", rescore_threshold=-1e9,
+        gripper_vote=False), STATS)
+    first_nv = make_verified_step(PCFG, VCFG, replace(
+        CCFG, selection="first", gripper_vote=False), STATS)
+    rv = ver(pp, vp, jax.random.PRNGKey(3), raw, proprio, lt, lm, vt,
+             hist, np.int32(0))
+    fu = first_nv(pp, vp, jax.random.PRNGKey(3), raw, proprio, lt, lm, vt,
+                  hist, np.int32(0))
+    np.testing.assert_allclose(np.asarray(fu.exec_chunk),
+                               np.asarray(rv.exec_chunk), atol=1e-6)
