@@ -1,0 +1,480 @@
+"""Verification-scaling experiment: does verifier selection turn candidate
+count N into success rate?
+
+The repo's analog of the reference's headline table (README.md:136-155 —
+"Scaling Verification Can Be More Effective than Scaling Policy
+Learning"): on the scriptable fake env, a tiny pi0 behaviour-cloned from a
+noisy scripted expert samples N candidate chunks per control step, and the
+success rate is measured for three selection modes through the REAL
+batched engine (engine/batched_engine.py + engine/verified_step.py):
+
+  * verifier  — contrastively-trained tiny SigLIP2-style ensemble picks
+                the candidate (the CoVer loop),
+  * random    — a uniformly random candidate executes (statistically the
+                plain-pi0 baseline: candidates are iid),
+  * first     — candidate 0 always executes (pi0 baseline, shared noise
+                stream with the verifier arm).
+
+Stages (each resumable from the previous one's artifacts):
+  demos          scripted-expert demonstrations + fitted statistics
+  train_policy   flow-matching behaviour cloning (training.train_pi0)
+  train_verifier contrastive InfoNCE ensemble (training.train_verifier)
+  eval           success-rate grid over N x selection via
+                 eval.evaluator.evaluate_suite_batched (+ analyze.py
+                 aggregation of the per-episode pickles)
+  report         markdown + JSON artifacts
+
+Run everything:  JAX_PLATFORMS=cpu python scripts/verification_scaling.py all
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ART_DIR = os.path.join(REPO, "experiments", "verification_scaling")
+TASK = "widowx_carrot_on_plate"
+MAX_ENV_STEPS = 60
+
+
+# ---------------------------------------------------------------------------
+# Experiment-scale configs: tiny enough to train on CPU, big enough for the
+# vision towers to actually localise the blobs.
+# ---------------------------------------------------------------------------
+
+
+def experiment_configs():
+    from cover_vla_tpu.configs import (
+        Pi0Config, GemmaConfig, VitConfig, VerifierConfig, SiglipTextConfig)
+    pcfg = Pi0Config(
+        paligemma=GemmaConfig(width=64, depth=2, mlp_dim=128, num_heads=4,
+                              num_kv_heads=1, head_dim=16, vocab_size=1024),
+        expert=GemmaConfig(width=64, depth=2, mlp_dim=128, num_heads=4,
+                           num_kv_heads=1, head_dim=16, vocab_size=0),
+        vision=VitConfig(width=64, depth=2, mlp_dim=128, num_heads=4,
+                         patch_size=14, image_size=112),
+        chunk_size=4, n_action_steps=4, max_state_dim=32, max_action_dim=32,
+        proj_width=64, num_denoise_steps=5, tokenizer_max_length=8)
+    vcfg = VerifierConfig(
+        vision=VitConfig(width=64, depth=2, mlp_dim=128, num_heads=4,
+                         patch_size=16, image_size=128, gelu_approx=False),
+        text=SiglipTextConfig(width=32, depth=2, mlp_dim=64, num_heads=4,
+                              vocab_size=512, context_length=16,
+                              embed_dim=64),  # == vision.width (TAVE attends
+        #                                       text tokens over patches)
+        text_pooling_output_dim=32, vision_pooling_output_dim=32,
+        pooling_heads=4, pooling_layers=2, traj_layers=2, traj_heads=4)
+    return pcfg, vcfg
+
+
+def _save_tree(path, tree):
+    import jax
+    with open(path, "wb") as f:
+        pickle.dump(jax.tree_util.tree_map(
+            lambda x: np.asarray(x), tree), f)
+
+
+def _load_tree(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Stage: demos
+# ---------------------------------------------------------------------------
+
+
+def cmd_demos(args):
+    from cover_vla_tpu.eval import fake_expert
+    t0 = time.time()
+    demos = fake_expert.collect_demos(
+        n_episodes=args.n_demos, max_steps=MAX_ENV_STEPS, seed=0,
+        action_noise=args.demo_noise, task_name=TASK)
+    stats = fake_expert.fit_statistics(demos)
+    os.makedirs(ART_DIR, exist_ok=True)
+    np.savez_compressed(os.path.join(ART_DIR, "demos.npz"),
+                        **{k: v for k, v in demos.items()
+                           if isinstance(v, np.ndarray)})
+    with open(os.path.join(ART_DIR, "stats.pkl"), "wb") as f:
+        pickle.dump(stats, f)
+    print(f"demos: {len(demos['actions'])} steps / "
+          f"{demos['n_episodes']} episodes, expert success "
+          f"{demos['expert_success_rate']:.2f} ({time.time() - t0:.0f}s)")
+
+
+def _load_demos():
+    d = dict(np.load(os.path.join(ART_DIR, "demos.npz")))
+    d["n_episodes"] = int(d["episode"].max()) + 1
+    with open(os.path.join(ART_DIR, "stats.pkl"), "rb") as f:
+        stats = pickle.load(f)
+    return d, stats
+
+
+# ---------------------------------------------------------------------------
+# Stage: train_policy
+# ---------------------------------------------------------------------------
+
+
+def _policy_preprocess_fn(pcfg):
+    """Jitted raw-uint8 -> policy-image batch preprocessing, the engine's
+    exact on-device chain (verified_step._policy_image)."""
+    import jax
+    import jax.numpy as jnp
+    from cover_vla_tpu.ops.image import resize_lanczos4_uint8_device
+
+    def one(raw):
+        x = resize_lanczos4_uint8_device(
+            raw, pcfg.vision.image_size,
+            pcfg.vision.image_size).astype(jnp.float32)
+        return (x / 255.0 - 0.5) / 0.5
+
+    return jax.jit(jax.vmap(one))
+
+
+def cmd_train_policy(args):
+    import jax
+    import optax
+    from cover_vla_tpu.eval import fake_expert
+    from cover_vla_tpu.data.tokenizer import make_policy_tokenizer
+    from cover_vla_tpu.training import train_pi0
+
+    pcfg, _ = experiment_configs()
+    demos, stats = _load_demos()
+    ds = fake_expert.build_policy_dataset(demos, stats, pcfg.chunk_size)
+    n = len(ds["state"])
+    print(f"policy dataset: {n} chunks")
+
+    tok = make_policy_tokenizer(pcfg.paligemma.vocab_size)
+    from cover_vla_tpu.eval.benchmark import TASK_INSTRUCTIONS
+    instr = TASK_INSTRUCTIONS.get(TASK, TASK.replace("_", " "))
+    lt, lm = tok.encode_batch([instr], pcfg.tokenizer_max_length)
+
+    prep = _policy_preprocess_fn(pcfg)
+    warm = min(50, max(1, args.steps // 10))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warm, max(args.steps, warm + 1))
+    tx = optax.adamw(sched, weight_decay=1e-5)
+    state = train_pi0.init_train_state(jax.random.PRNGKey(0), pcfg, tx)
+    step_fn = train_pi0.make_train_step(pcfg, tx)
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    for it in range(args.steps):
+        idx = rng.integers(0, n, args.batch)
+        imgs = prep(ds["frames"][idx])[:, None]        # [B,1,H,W,3]
+        batch = {
+            "images": imgs,
+            "img_masks": np.ones((args.batch, 1), bool),
+            "lang_tokens": np.broadcast_to(lt, (args.batch,) + lt.shape[1:]),
+            "lang_masks": np.broadcast_to(lm, (args.batch,) + lm.shape[1:]),
+            "state": ds["state"][idx],
+            "actions": ds["actions"][idx],
+        }
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, sub, batch)
+        if it % 100 == 0 or it == args.steps - 1:
+            print(f"  policy step {it}: loss={float(metrics['loss']):.4f} "
+                  f"({time.time() - t0:.0f}s)")
+    _save_tree(os.path.join(ART_DIR, "policy_params.pkl"), state.params)
+    print("saved policy_params.pkl")
+
+
+# ---------------------------------------------------------------------------
+# Stage: train_verifier
+# ---------------------------------------------------------------------------
+
+
+def _verifier_preprocess_fn(vcfg):
+    """Jitted raw-uint8 -> verifier-image batch preprocessing matching
+    verified_step._verifier_image (frames are already 256x256)."""
+    import jax
+    import jax.numpy as jnp
+    from cover_vla_tpu.ops.image import resize_bicubic_pil
+
+    def batch(raw):
+        x = raw.astype(jnp.float32)
+        x = resize_bicubic_pil(x, vcfg.vision.image_size,
+                               vcfg.vision.image_size)
+        return ((x / 255.0) - 0.5) / 0.5
+
+    return jax.jit(batch)
+
+
+def cmd_train_verifier(args):
+    import jax
+    import optax
+    from cover_vla_tpu.eval import fake_expert
+    from cover_vla_tpu.data.tokenizer import make_verifier_tokenizer
+    from cover_vla_tpu.training import train_verifier
+    from cover_vla_tpu.eval.benchmark import TASK_INSTRUCTIONS
+
+    pcfg, vcfg = experiment_configs()
+    demos, _ = _load_demos()
+    ds = fake_expert.build_verifier_dataset(
+        demos, pcfg.chunk_size, max_history=6,
+        padding_value=vcfg.action_padding_value)
+    n = len(ds["action_histories"])
+    print(f"verifier dataset: {n} trajectories")
+
+    tok = make_verifier_tokenizer(vcfg.text.vocab_size)
+    instr = TASK_INSTRUCTIONS.get(TASK, TASK.replace("_", " "))
+    vt, _ = tok.encode_batch([instr], vcfg.text.context_length)
+
+    prep = _verifier_preprocess_fn(vcfg)
+    warm = min(50, max(1, args.steps // 10))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warm, max(args.steps, warm + 1))
+    tx = optax.adamw(sched, weight_decay=1e-5)
+    backbone, state = train_verifier.init_train_state(
+        jax.random.PRNGKey(2), vcfg, tx, num_members=args.members)
+    step_fn = train_verifier.make_ensemble_train_step(vcfg, tx)
+
+    rng = np.random.default_rng(1)
+    t0 = time.time()
+    for it in range(args.steps):
+        idx = rng.integers(0, n, args.batch)
+        batch = {
+            "images": prep(ds["frames"][idx]),
+            "text_tokens": np.broadcast_to(vt, (args.batch,) + vt.shape[1:]),
+            "action_histories": ds["action_histories"][idx],
+        }
+        state, metrics = step_fn(state, backbone, batch)
+        if it % 100 == 0 or it == args.steps - 1:
+            print(f"  verifier step {it}: "
+                  f"loss={float(metrics['loss']):.4f} "
+                  f"top1_i2a={float(metrics['top1_i2a']):.3f} "
+                  f"({time.time() - t0:.0f}s)")
+    _save_tree(os.path.join(ART_DIR, "verifier_params.pkl"),
+               {"backbone": backbone, "members": state.members})
+    print("saved verifier_params.pkl")
+
+
+# ---------------------------------------------------------------------------
+# Stage: eval — the success-rate grid
+# ---------------------------------------------------------------------------
+
+
+def wilson_ci(k: int, n: int, z: float = 1.96):
+    """95% Wilson score interval for a binomial proportion."""
+    if n == 0:
+        return (0.0, 0.0)
+    p = k / n
+    denom = 1 + z * z / n
+    centre = (p + z * z / (2 * n)) / denom
+    half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    return (max(0.0, centre - half), min(1.0, centre + half))
+
+
+def run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
+             mode: str, n_samples: int, trials: int, n_parallel: int,
+             seed: int, out_dir=None):
+    import dataclasses
+    from cover_vla_tpu.configs import CoVerConfig
+    from cover_vla_tpu.eval.evaluator import (
+        EvalConfig, evaluate_suite_batched)
+    from cover_vla_tpu.eval.fake_env import make_fake_env
+    from cover_vla_tpu.data.tokenizer import (
+        make_policy_tokenizer, make_verifier_tokenizer)
+
+    ccfg = CoVerConfig(
+        n_samples=n_samples, n_rephrases=1, noise_std=1.0,
+        selection=mode, gripper_vote=(mode == "verifier"),
+        max_history=vcfg.history_length - pcfg.chunk_size)
+    ecfg = EvalConfig(task_suite=TASK, num_trials_per_task=trials,
+                      max_steps=MAX_ENV_STEPS, seed=1000, seed_period=10_000)
+    out = evaluate_suite_batched(
+        policy_params, verifier_params, pcfg, vcfg, ccfg, ecfg,
+        n_parallel=n_parallel,
+        env_fn=lambda t: make_fake_env(t, max_steps=MAX_ENV_STEPS),
+        stats=stats, seed=seed,
+        policy_tokenizer=make_policy_tokenizer(pcfg.paligemma.vocab_size),
+        verifier_tokenizer=make_verifier_tokenizer(vcfg.text.vocab_size),
+        out_dir=out_dir)
+    task_stats = out["summary"]["per_task"][TASK]
+    succ = [e["success"] for e in task_stats["per_episode"]]
+    k, n = int(np.sum(succ)), len(succ)
+    lo, hi = wilson_ci(k, n)
+    return {"mode": mode, "n_samples": n_samples, "successes": k,
+            "episodes": n, "success_rate": k / n,
+            "ci95": [round(lo, 4), round(hi, 4)],
+            "mean_steps": task_stats["mean_steps"],
+            "actions_per_sec": round(out["actions_per_sec"], 1)}
+
+
+GRID = [("first", 1), ("random", 5), ("random", 16), ("random", 40),
+        ("verifier", 1), ("verifier", 5), ("verifier", 16),
+        ("verifier", 40)]
+
+
+def cmd_eval(args):
+    pcfg, vcfg = experiment_configs()
+    _, stats = _load_demos()
+    policy_params = _load_tree(os.path.join(ART_DIR, "policy_params.pkl"))
+    verifier_params = _load_tree(
+        os.path.join(ART_DIR, "verifier_params.pkl"))
+
+    cells = []
+    for mode, n_samples in GRID:
+        t0 = time.time()
+        out_dir = os.path.join(ART_DIR, "episodes",
+                               f"{mode}_N{n_samples}")
+        cell = run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
+                        mode, n_samples, trials=args.trials,
+                        n_parallel=args.n_parallel, seed=7,
+                        out_dir=out_dir)
+        cell["wall_s"] = round(time.time() - t0, 1)
+        cells.append(cell)
+        print(f"  {mode:9s} N={n_samples:3d}: "
+              f"{cell['success_rate']:.2f} "
+              f"[{cell['ci95'][0]:.2f},{cell['ci95'][1]:.2f}] "
+              f"({cell['episodes']} eps, {cell['wall_s']}s)")
+
+    # cross-check one cell's numbers through the offline analyzer
+    from cover_vla_tpu.eval import analyze
+    eps = analyze.load_episodes(
+        os.path.join(ART_DIR, "episodes", "verifier_N16"))
+    agg = analyze.aggregate(eps)
+    v16 = next(c for c in cells
+               if c["mode"] == "verifier" and c["n_samples"] == 16)
+    assert abs(agg["per_task"][TASK]["success_rate"]
+               - v16["success_rate"]) < 1e-9, "analyzer disagreement"
+
+    with open(os.path.join(ART_DIR, "results.json"), "w") as f:
+        json.dump({"grid": cells, "task": TASK,
+                   "trials_per_cell": args.trials}, f, indent=1)
+    print("saved results.json (analyzer cross-check ok)")
+
+
+# ---------------------------------------------------------------------------
+# Stage: report
+# ---------------------------------------------------------------------------
+
+
+def cmd_report(args):
+    with open(os.path.join(ART_DIR, "results.json")) as f:
+        res = json.load(f)
+    cells = {(c["mode"], c["n_samples"]): c for c in res["grid"]}
+    ns = sorted({c["n_samples"] for c in res["grid"] if c["mode"] != "first"})
+
+    def fmt(c):
+        if c is None:
+            return "—"
+        return (f"{100 * c['success_rate']:.0f}% "
+                f"[{100 * c['ci95'][0]:.0f}, {100 * c['ci95'][1]:.0f}]")
+
+    lines = [
+        "# Verification scaling on the fake-env benchmark",
+        "",
+        "The repo's analog of the reference's headline table"
+        " (`/root/reference/README.md:136-155`): a tiny pi0"
+        " behaviour-cloned from a noisy scripted expert, a tiny"
+        " contrastively-trained verifier ensemble, and the real batched"
+        " CoVer engine, on the scriptable `FakeWidowXEnv`"
+        f" (task `{res['task']}`, {res['trials_per_cell']} episodes/cell,"
+        " 95% Wilson CIs).",
+        "",
+        "Selection modes (`CoVerConfig.selection`): **verifier** = the"
+        " CoVer loop (two-stage verified selection + gripper vote);"
+        " **random** = a uniformly random candidate executes (statistically"
+        " identical to plain pi0 — candidates are iid); **first** ="
+        " candidate 0 (plain pi0, shares the verifier arm's noise stream).",
+        "",
+        "| selection | " + " | ".join(f"N={n}" for n in ns) + " |",
+        "|---|" + "---|" * len(ns),
+    ]
+    for mode in ("first", "random", "verifier"):
+        row = [fmt(cells.get((mode, n)) or
+                   (cells.get((mode, 1)) if mode == "first" else None))
+               for n in ns]
+        lines.append(f"| {mode} | " + " | ".join(row) + " |")
+    f1 = cells.get(("first", 1))
+    if f1:
+        lines += ["", f"pi0 baseline (N=1): {fmt(f1)}."]
+    v16, r16 = cells.get(("verifier", 16)), cells.get(("random", 16))
+    if v16 and r16:
+        lines += ["",
+                  f"At N=16 the verifier arm reaches "
+                  f"{100 * v16['success_rate']:.0f}% vs "
+                  f"{100 * r16['success_rate']:.0f}% for random selection "
+                  f"({v16['successes']}/{v16['episodes']} vs "
+                  f"{r16['successes']}/{r16['episodes']}).",
+                  "",
+                  "Reproduce: `JAX_PLATFORMS=cpu python "
+                  "scripts/verification_scaling.py all` "
+                  "(stages: demos, train_policy, train_verifier, eval, "
+                  "report). CI regression: "
+                  "`tests/test_verification_scaling.py`."]
+    md = "\n".join(lines) + "\n"
+    path = os.path.join(REPO, "docs", "verification_scaling.md")
+    with open(path, "w") as f:
+        f.write(md)
+    print(md)
+    print(f"wrote {path}")
+
+
+def main():
+    # CPU-only experiment: force the platform BEFORE any jax import (the
+    # env is pre-wired to the remote axon TPU; see CLAUDE.md)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("demos")
+    d.add_argument("--n-demos", type=int, default=300)
+    d.add_argument("--demo-noise", type=float, default=0.008)
+    d.set_defaults(fn=cmd_demos)
+
+    p = sub.add_parser("train_policy")
+    p.add_argument("--steps", type=int, default=1500)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.set_defaults(fn=cmd_train_policy)
+
+    v = sub.add_parser("train_verifier")
+    v.add_argument("--steps", type=int, default=800)
+    v.add_argument("--batch", type=int, default=64)
+    v.add_argument("--lr", type=float, default=1e-3)
+    v.add_argument("--members", type=int, default=2)
+    v.set_defaults(fn=cmd_train_verifier)
+
+    e = sub.add_parser("eval")
+    e.add_argument("--trials", type=int, default=100)
+    e.add_argument("--n-parallel", type=int, default=10)
+    e.set_defaults(fn=cmd_eval)
+
+    r = sub.add_parser("report")
+    r.set_defaults(fn=cmd_report)
+
+    a = sub.add_parser("all")
+    a.set_defaults(fn=None)
+    args = ap.parse_args()
+
+    if args.cmd == "all":
+        for name, extra in (("demos", {"n_demos": 300, "demo_noise": 0.008}),
+                            ("train_policy",
+                             {"steps": 1500, "batch": 64, "lr": 1e-3}),
+                            ("train_verifier",
+                             {"steps": 800, "batch": 64, "lr": 1e-3,
+                              "members": 2}),
+                            ("eval", {"trials": 100, "n_parallel": 10}),
+                            ("report", {})):
+            ns = argparse.Namespace(cmd=name, **extra)
+            {"demos": cmd_demos, "train_policy": cmd_train_policy,
+             "train_verifier": cmd_train_verifier, "eval": cmd_eval,
+             "report": cmd_report}[name](ns)
+    else:
+        args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
