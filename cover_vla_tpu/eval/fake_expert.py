@@ -197,3 +197,57 @@ def build_verifier_dataset(demos: Dict[str, np.ndarray], chunk_size: int,
         "frames": demos["frames"][np.asarray(keep, np.int64)],
         "action_histories": np.stack(trajs),
     }
+
+
+def task_potential(env: FakeWidowXEnv) -> float:
+    """Privileged progress potential: higher = closer to success. Used to
+    label candidate chunks by the true progress they would make."""
+    if env.episode_stats["success"]:
+        return 10.0
+    if env._grasped:
+        return 2.0 - float(np.linalg.norm(env._obj[:2] - env._target[:2]))
+    return -float(np.linalg.norm(env._ee - env._obj))
+
+
+def chunk_quality(env: FakeWidowXEnv, exec_chunk: np.ndarray) -> float:
+    """True quality of an execution-format action chunk from the env's
+    CURRENT state: step a copy of the env through the chunk and measure
+    the potential gain (the oracle the verifier is trained to imitate)."""
+    import copy
+    sim = copy.deepcopy(env)
+    before = task_potential(sim)
+    for a in exec_chunk:
+        _, _, done, trunc, _ = sim.step(np.asarray(a, np.float64))
+        if done or trunc:
+            break
+    return task_potential(sim) - before
+
+
+def build_ranking_negatives(trajs: np.ndarray, max_history: int,
+                            rng: np.random.Generator,
+                            n_other: int = 2) -> np.ndarray:
+    """Corrupted-future negatives for the ranking loss: same history, wrong
+    future chunk. [B, H, 7] -> [B, M, H, 7] with M = n_other + 3.
+
+    Corruptions mirror how bad candidates actually differ from good ones
+    at engine time: wrong direction (sign-flipped xyz), wrong gripper
+    timing (flipped open/close), shuffled step order, and futures lifted
+    from other frames."""
+    b = len(trajs)
+    negs = []
+    for _ in range(n_other):                     # other frames' futures
+        perm = rng.permutation(b)
+        other = trajs.copy()
+        other[:, max_history:] = trajs[perm][:, max_history:]
+        negs.append(other)
+    flip = trajs.copy()                          # reversed direction
+    flip[:, max_history:, :3] *= -1.0
+    negs.append(flip)
+    grip = trajs.copy()                          # wrong gripper timing
+    grip[:, max_history:, 6] = 1.0 - grip[:, max_history:, 6]
+    negs.append(grip)
+    rot = trajs.copy()                           # sideways direction
+    rot[:, max_history:, 0], rot[:, max_history:, 1] = \
+        trajs[:, max_history:, 1], -trajs[:, max_history:, 0]
+    negs.append(rot)
+    return np.stack(negs, axis=1)

@@ -61,11 +61,12 @@ def _gen_pi0_lerobot(out_path: str, seed: int = 0) -> dict:
     from cover_vla_tpu.configs import Pi0Config
 
     cfg = Pi0Config()
-    g = torch.Generator().manual_seed(seed)
+    g = np.random.Generator(np.random.SFC64(seed))
     sd = {}
 
     def rnd(*shape, std=0.02):
-        return (torch.randn(*shape, generator=g) * std).contiguous()
+        return torch.from_numpy(
+            g.standard_normal(shape, dtype=np.float32) * np.float32(std))
 
     def lin(name, o, i, bias=True):
         sd[name + ".weight"] = rnd(o, i)
@@ -207,11 +208,12 @@ def _gen_verifier_merged(pt_path: str, backbone_path: str,
                 "config": {"siglip_model": "ViT-L-16-SigLIP2-384"}}, pt_path)
 
     # open_clip backbone: timm ViT trunk (packed qkv) + custom text tower
-    g = torch.Generator().manual_seed(seed + 1)
+    g = np.random.Generator(np.random.SFC64(seed + 1))
     bsd = {}
 
     def rnd(*shape, std=0.02):
-        return (torch.randn(*shape, generator=g) * std).contiguous()
+        return torch.from_numpy(
+            g.standard_normal(shape, dtype=np.float32) * np.float32(std))
 
     v = cfg.vision
     bsd["visual.trunk.patch_embed.proj.weight"] = \
@@ -291,7 +293,13 @@ def cmd_generate(args):
 
 
 def cmd_run(args):
+    # honor an explicit JAX_PLATFORMS choice even though sitecustomize
+    # pre-imports jax on the axon platform (CLAUDE.md: both the env var
+    # AND config.update are needed to actually switch)
     import jax
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     cache = os.path.expanduser("~/.cache/jax_comp_cache")
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)

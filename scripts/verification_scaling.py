@@ -190,6 +190,110 @@ def cmd_train_policy(args):
 
 
 # ---------------------------------------------------------------------------
+# Stage: rankdata — policy-sampled candidates labeled by privileged progress
+# ---------------------------------------------------------------------------
+
+
+def cmd_rankdata(args):
+    """Roll the TRAINED policy on the env; at every chunk boundary sample
+    n_candidates chunks, label each with the true progress a copy of the
+    env makes executing it (fake_expert.chunk_quality), and record
+    (frame, history, candidate trajectories, qualities). This is the
+    verifier's training signal: rank candidates the way the engine will
+    have to at deployment. The executed chunk is a RANDOM candidate, so
+    states stay on the no-verifier policy distribution."""
+    import jax
+    from cover_vla_tpu.eval import fake_expert
+    from cover_vla_tpu.eval.fake_env import FakeWidowXEnv
+    from cover_vla_tpu.eval.adapters import BridgeSimplerAdapter
+    from cover_vla_tpu.models import pi0
+    from cover_vla_tpu.data.tokenizer import make_policy_tokenizer
+    from cover_vla_tpu.eval.benchmark import TASK_INSTRUCTIONS
+
+    pcfg, vcfg = experiment_configs()
+    _, stats = _load_demos()
+    pp = _load_tree(os.path.join(ART_DIR, "policy_params.pkl"))
+    ptok = make_policy_tokenizer(pcfg.paligemma.vocab_size)
+    instr = TASK_INSTRUCTIONS.get(TASK, TASK.replace("_", " "))
+    lt, lm = ptok.encode_batch([instr], pcfg.tokenizer_max_length)
+    adapter = BridgeSimplerAdapter()
+    prep = _policy_preprocess_fn(pcfg)
+
+    a_p01 = stats.action.p01[:6]
+    a_p99 = stats.action.p99[:6]
+    N, chunk = args.n_candidates, pcfg.chunk_size
+    H = vcfg.history_length
+    max_hist = H - chunk
+
+    sample = jax.jit(lambda key, img, state: pi0.sample_actions(
+        pp, pcfg, key, img, np.ones((1, 1), bool), lt, lm, state,
+        num_candidates=N, noise_std=args.noise_std))
+
+    frames, trajs, quals = [], [], []
+    rng = np.random.default_rng(123)
+    t0 = time.time()
+    for ep in range(args.episodes):
+        env = FakeWidowXEnv(TASK, max_steps=MAX_ENV_STEPS)
+        obs, _ = env.reset(seed=50_000 + ep)
+        history = np.full((0, 7), 0.0, np.float32)
+        t = 0
+        while t < MAX_ENV_STEPS:
+            frame = obs["image"]
+            proprio = adapter.preprocess_proprio(
+                {"agent": obs["agent"]}).astype(np.float32)
+            img = prep(frame[None])[:, None]
+            state = np.zeros((1, pcfg.max_state_dim), np.float32)
+            state[0, :7] = fake_expert.normalize_proprio(proprio, stats)
+            key = jax.random.PRNGKey(900_000 + 1000 * ep + t)
+            acts = np.asarray(sample(key, img, state)).reshape(
+                N, chunk, pcfg.max_action_dim)[..., :7]
+            body = (acts[..., :6] + 1) / 2 * (a_p99 - a_p01) + a_p01
+            grip = acts[..., 6:]
+            exec_chunks = np.concatenate(
+                [body[..., :3], body[..., 3:6],
+                 2.0 * (grip > 0.5) - 1.0], -1)
+            verif_chunks = np.concatenate(
+                [body, (grip >= 0.5).astype(np.float32)], -1)
+
+            q = np.asarray([fake_expert.chunk_quality(env, exec_chunks[i])
+                            for i in range(N)], np.float32)
+            # assemble the engine's trajectory layout for every candidate
+            n_past = min(len(history), max_hist)
+            base = np.full((H, 7), vcfg.action_padding_value, np.float32)
+            if n_past:
+                base[max_hist - n_past:max_hist] = history[-n_past:]
+            cand_trajs = np.broadcast_to(
+                base, (N, H, 7)).copy()
+            cand_trajs[:, max_hist:] = verif_chunks
+            frames.append(frame)
+            trajs.append(cand_trajs)
+            quals.append(q)
+
+            # execute a RANDOM candidate to stay on-distribution
+            pick = int(rng.integers(0, N))
+            done = trunc = False
+            for s in range(chunk):
+                obs, _, done, trunc, _ = env.step(exec_chunks[pick, s])
+                history = np.concatenate(
+                    [history, verif_chunks[pick, s][None]])
+                t += 1
+                if done or trunc:
+                    break
+            if done or trunc:
+                break
+        if ep % 10 == 0:
+            print(f"  rankdata ep {ep}: {len(frames)} states "
+                  f"({time.time() - t0:.0f}s)")
+    np.savez_compressed(
+        os.path.join(ART_DIR, "rankdata.npz"),
+        frames=np.stack(frames), trajs=np.stack(trajs),
+        quals=np.stack(quals))
+    q = np.stack(quals)
+    print(f"rankdata: {len(frames)} states x {N} candidates; quality "
+          f"spread per state p50={np.median(q.max(1) - q.min(1)):.3f}")
+
+
+# ---------------------------------------------------------------------------
 # Stage: train_verifier
 # ---------------------------------------------------------------------------
 
@@ -213,18 +317,20 @@ def _verifier_preprocess_fn(vcfg):
 def cmd_train_verifier(args):
     import jax
     import optax
-    from cover_vla_tpu.eval import fake_expert
     from cover_vla_tpu.data.tokenizer import make_verifier_tokenizer
     from cover_vla_tpu.training import train_verifier
     from cover_vla_tpu.eval.benchmark import TASK_INSTRUCTIONS
 
     pcfg, vcfg = experiment_configs()
-    demos, _ = _load_demos()
-    ds = fake_expert.build_verifier_dataset(
-        demos, pcfg.chunk_size, max_history=6,
-        padding_value=vcfg.action_padding_value)
-    n = len(ds["action_histories"])
-    print(f"verifier dataset: {n} trajectories")
+    rd = np.load(os.path.join(ART_DIR, "rankdata.npz"))
+    frames, trajs, quals = rd["frames"], rd["trajs"], rd["quals"]
+    # keep states whose candidates actually differ in outcome — ranking is
+    # undefined where every candidate makes identical progress
+    spread = quals.max(1) - quals.min(1)
+    keep = np.nonzero(spread > args.min_spread)[0]
+    n = len(keep)
+    print(f"verifier rankdata: {n}/{len(frames)} states with quality "
+          f"spread > {args.min_spread}")
 
     tok = make_verifier_tokenizer(vcfg.text.vocab_size)
     instr = TASK_INSTRUCTIONS.get(TASK, TASK.replace("_", " "))
@@ -235,28 +341,107 @@ def cmd_train_verifier(args):
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, warm, max(args.steps, warm + 1))
     tx = optax.adamw(sched, weight_decay=1e-5)
-    backbone, state = train_verifier.init_train_state(
+    # backbone UNFROZEN: there are no pretrained SigLIP2 weights in this
+    # synthetic domain, and a frozen random tower collapses all frames to
+    # near-identical features. The objective is the LISTWISE ranking loss
+    # over the policy's own sampled candidate slates labeled by
+    # privileged env progress — the decision the engine makes at every
+    # control step. (Pairwise pos-vs-worst mining taught a shortcut:
+    # the mined negatives were dominated by early gripper releases, so
+    # the verifier suppressed opening anywhere and never released.)
+    state = train_verifier.init_full_train_state(
         jax.random.PRNGKey(2), vcfg, tx, num_members=args.members)
-    step_fn = train_verifier.make_ensemble_train_step(vcfg, tx)
+    if args.objective == "listwise":
+        step_fn = train_verifier.make_listwise_train_step(vcfg, tx,
+                                                          tau=args.tau)
+    else:  # dense oracle distillation — the default; see train_verifier
+        step_fn = train_verifier.make_regression_train_step(vcfg, tx,
+                                                            q_scale=1.0)
 
+    # stratified batches: half from high-stakes states (a candidate flips
+    # the episode outcome — grasp/release transitions, spread > 5) so the
+    # rare release-phase decision is not drowned out by approach states
+    # held-out split for decision-quality validation (selection regret on
+    # states the verifier never trained on), stratified batches for the
+    # rare high-stakes (grasp/release) states
     rng = np.random.default_rng(1)
+    perm = rng.permutation(keep)
+    val = perm[:max(32, len(perm) // 10)]
+    train = perm[len(val):]
+    hi = train[spread[train] > 5.0]
+    lo = train[spread[train] <= 5.0]
+    print(f"  strata: {len(hi)} high-stakes / {len(lo)} routine; "
+          f"{len(val)} held-out")
+
+    import jax as _jax
+    from cover_vla_tpu.models import verifier as _verifier
+
+    def val_regret(params):
+        regs, accs = [], []
+        for s in range(0, len(val), 32):
+            vidx = val[s:s + 32]
+            imgs = prep(frames[vidx])
+            feats = _verifier.extract_features(
+                params, vcfg, imgs,
+                np.broadcast_to(vt, (len(vidx),) + vt.shape[1:]))
+            member_scores = []
+            for mi in range(args.members):
+                m = _jax.tree_util.tree_map(lambda x: x[mi],
+                                            params["members"])
+                it_e = _verifier.member_image_text_embed(m, vcfg, feats)
+                b_, n_ = len(vidx), trajs.shape[1]
+                ac = _verifier.member_action_embed(
+                    m, vcfg, trajs[vidx].reshape(b_ * n_,
+                                                 *trajs.shape[2:]))
+                member_scores.append(np.einsum(
+                    "bd,bnd->bn", np.asarray(it_e),
+                    np.asarray(ac).reshape(b_, n_, -1)))
+            sc = np.mean(member_scores, 0)
+            pick = sc.argmax(1)
+            q = quals[vidx]
+            regs.append(q.max(1) - q[np.arange(len(vidx)), pick])
+            accs.append(pick == q.argmax(1))
+        return float(np.concatenate(regs).mean()), \
+            float(np.concatenate(accs).mean())
+
+    best = (1e9, None)
     t0 = time.time()
     for it in range(args.steps):
-        idx = rng.integers(0, n, args.batch)
+        if len(hi) and len(lo):
+            idx = np.concatenate([
+                hi[rng.integers(0, len(hi), args.batch // 2)],
+                lo[rng.integers(0, len(lo), args.batch - args.batch // 2)]])
+        else:
+            idx = train[rng.integers(0, len(train), args.batch)]
+        q = quals[idx]
+        if args.objective == "regression":
+            # per-slate standardization: between-state quality variance
+            # would otherwise dominate the MSE (the net can score well by
+            # predicting each STATE's mean quality and ignoring the
+            # candidates); only within-slate ordering matters to the
+            # engine's argmax
+            q = (q - q.mean(1, keepdims=True)) / (q.std(1, keepdims=True)
+                                                  + 0.1)
         batch = {
-            "images": prep(ds["frames"][idx]),
-            "text_tokens": np.broadcast_to(vt, (args.batch,) + vt.shape[1:]),
-            "action_histories": ds["action_histories"][idx],
+            "images": prep(frames[idx]),
+            "text_tokens": np.broadcast_to(vt, (len(idx),) + vt.shape[1:]),
+            "cand_trajs": trajs[idx],
+            "qualities": q,
         }
-        state, metrics = step_fn(state, backbone, batch)
-        if it % 100 == 0 or it == args.steps - 1:
+        state, metrics = step_fn(state, batch)
+        if it % 200 == 0 or it == args.steps - 1:
+            vr, va = val_regret(state.params)
+            if vr < best[0]:
+                best = (vr, _jax.tree_util.tree_map(np.asarray,
+                                                    state.params))
             print(f"  verifier step {it}: "
                   f"loss={float(metrics['loss']):.4f} "
-                  f"top1_i2a={float(metrics['top1_i2a']):.3f} "
+                  f"rank_acc={float(metrics['rank_acc']):.3f} "
+                  f"val_regret={vr:.3f} val_top1={va:.3f} "
                   f"({time.time() - t0:.0f}s)")
     _save_tree(os.path.join(ART_DIR, "verifier_params.pkl"),
-               {"backbone": backbone, "members": state.members})
-    print("saved verifier_params.pkl")
+               best[1] if best[1] is not None else state.params)
+    print(f"saved verifier_params.pkl (best val_regret={best[0]:.3f})")
 
 
 # ---------------------------------------------------------------------------
@@ -286,6 +471,9 @@ def run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
     from cover_vla_tpu.data.tokenizer import (
         make_policy_tokenizer, make_verifier_tokenizer)
 
+    if out_dir:
+        import shutil
+        shutil.rmtree(out_dir, ignore_errors=True)  # stale episode pkls
     ccfg = CoVerConfig(
         n_samples=n_samples, n_rephrases=1, noise_std=1.0,
         selection=mode, gripper_vote=(mode == "verifier"),
@@ -422,10 +610,19 @@ def cmd_report(args):
     print(f"wrote {path}")
 
 
-def main():
-    # CPU-only experiment: force the platform BEFORE any jax import (the
-    # env is pre-wired to the remote axon TPU; see CLAUDE.md)
+def _force_cpu():
+    """CPU-only experiment. jax is PRE-imported by sitecustomize with
+    JAX_PLATFORMS=axon (remote TPU tunnel); the env var alone does not
+    stick — BOTH the assignment and config.update are required
+    (CLAUDE.md), otherwise every engine dispatch silently rides the
+    exclusive tunnel and concurrent runs deadlock it."""
     os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    _force_cpu()
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -440,11 +637,21 @@ def main():
     p.add_argument("--lr", type=float, default=1e-3)
     p.set_defaults(fn=cmd_train_policy)
 
+    rk = sub.add_parser("rankdata")
+    rk.add_argument("--episodes", type=int, default=60)
+    rk.add_argument("--n-candidates", type=int, default=16)
+    rk.add_argument("--noise-std", type=float, default=1.0)
+    rk.set_defaults(fn=cmd_rankdata)
+
     v = sub.add_parser("train_verifier")
-    v.add_argument("--steps", type=int, default=800)
-    v.add_argument("--batch", type=int, default=64)
+    v.add_argument("--steps", type=int, default=1000)
+    v.add_argument("--batch", type=int, default=48)
     v.add_argument("--lr", type=float, default=1e-3)
     v.add_argument("--members", type=int, default=2)
+    v.add_argument("--tau", type=float, default=1.0)
+    v.add_argument("--objective", default="regression",
+                   choices=["regression", "listwise"])
+    v.add_argument("--min-spread", type=float, default=0.02)
     v.set_defaults(fn=cmd_train_verifier)
 
     e = sub.add_parser("eval")
@@ -463,13 +670,19 @@ def main():
         for name, extra in (("demos", {"n_demos": 300, "demo_noise": 0.008}),
                             ("train_policy",
                              {"steps": 1500, "batch": 64, "lr": 1e-3}),
+                            ("rankdata",
+                             {"episodes": 60, "n_candidates": 16,
+                              "noise_std": 1.0}),
                             ("train_verifier",
-                             {"steps": 800, "batch": 64, "lr": 1e-3,
-                              "members": 2}),
+                             {"steps": 4000, "batch": 24, "lr": 1e-3,
+                              "members": 2, "tau": 1.0,
+                              "objective": "regression",
+                              "min_spread": 0.02}),
                             ("eval", {"trials": 100, "n_parallel": 10}),
                             ("report", {})):
             ns = argparse.Namespace(cmd=name, **extra)
             {"demos": cmd_demos, "train_policy": cmd_train_policy,
+             "rankdata": cmd_rankdata,
              "train_verifier": cmd_train_verifier, "eval": cmd_eval,
              "report": cmd_report}[name](ns)
     else:
