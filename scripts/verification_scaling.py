@@ -377,32 +377,21 @@ def cmd_train_verifier(args):
     from cover_vla_tpu.models import verifier as _verifier
 
     def val_regret(params):
+        """Selection regret on held-out states, scored EXACTLY as the
+        engine scores (verifier.score_actions: member embeddings fused by
+        mean + renorm, then one dot) — a score-averaging proxy ranked
+        checkpoints that inverted at engine time."""
+        score_fn = _jax.jit(lambda p, img, tt, tr: _verifier.score_actions(
+            p, vcfg, img, tt, tr))
         regs, accs = [], []
-        for s in range(0, len(val), 32):
-            vidx = val[s:s + 32]
-            imgs = prep(frames[vidx])
-            feats = _verifier.extract_features(
-                params, vcfg, imgs,
-                np.broadcast_to(vt, (len(vidx),) + vt.shape[1:]))
-            member_scores = []
-            for mi in range(args.members):
-                m = _jax.tree_util.tree_map(lambda x: x[mi],
-                                            params["members"])
-                it_e = _verifier.member_image_text_embed(m, vcfg, feats)
-                b_, n_ = len(vidx), trajs.shape[1]
-                ac = _verifier.member_action_embed(
-                    m, vcfg, trajs[vidx].reshape(b_ * n_,
-                                                 *trajs.shape[2:]))
-                member_scores.append(np.einsum(
-                    "bd,bnd->bn", np.asarray(it_e),
-                    np.asarray(ac).reshape(b_, n_, -1)))
-            sc = np.mean(member_scores, 0)
-            pick = sc.argmax(1)
-            q = quals[vidx]
-            regs.append(q.max(1) - q[np.arange(len(vidx)), pick])
-            accs.append(pick == q.argmax(1))
-        return float(np.concatenate(regs).mean()), \
-            float(np.concatenate(accs).mean())
+        for i in val[:128]:
+            img = prep(frames[i][None].astype(np.float32))
+            sc = np.asarray(score_fn(params, img, vt, trajs[i]))
+            pick = int(sc.argmax())
+            q = quals[i]
+            regs.append(q.max() - q[pick])
+            accs.append(pick == int(q.argmax()))
+        return float(np.mean(regs)), float(np.mean(accs))
 
     best = (1e9, None)
     t0 = time.time()
@@ -413,6 +402,25 @@ def cmd_train_verifier(args):
                 lo[rng.integers(0, len(lo), args.batch - args.batch // 2)]])
         else:
             idx = train[rng.integers(0, len(train), args.batch)]
+        f_b = frames[idx].copy()
+        t_b = trajs[idx].copy()
+        if args.augment:
+            # label-preserving augmentation: chunk quality depends only on
+            # the RELATIVE blob geometry (the verifier never sees proprio),
+            # so whole-frame shifts keep labels, and axis flips keep them
+            # if the trajectory's matching delta axis is negated too
+            # (image column <-> world x, row <-> world y; fake_env._frame)
+            pad_rows = np.all(t_b == -5.0, axis=-1)     # [B, K*N? no: B,N,H]
+            for b in range(len(f_b)):
+                dy, dx = rng.integers(-24, 25, 2)
+                f_b[b] = np.roll(f_b[b], (dy, dx), axis=(0, 1))
+                if rng.random() < 0.5:                  # horizontal flip
+                    f_b[b] = f_b[b][:, ::-1]
+                    t_b[b, ..., 0] *= -1.0
+                if rng.random() < 0.5:                  # vertical flip
+                    f_b[b] = f_b[b][::-1]
+                    t_b[b, ..., 1] *= -1.0
+            t_b[pad_rows] = -5.0                        # restore padding
         q = quals[idx]
         if args.objective == "regression":
             # per-slate standardization: between-state quality variance
@@ -423,9 +431,9 @@ def cmd_train_verifier(args):
             q = (q - q.mean(1, keepdims=True)) / (q.std(1, keepdims=True)
                                                   + 0.1)
         batch = {
-            "images": prep(frames[idx]),
+            "images": prep(f_b),
             "text_tokens": np.broadcast_to(vt, (len(idx),) + vt.shape[1:]),
-            "cand_trajs": trajs[idx],
+            "cand_trajs": t_b,
             "qualities": q,
         }
         state, metrics = step_fn(state, batch)
@@ -504,6 +512,68 @@ GRID = [("first", 1), ("random", 5), ("random", 16), ("random", 40),
         ("verifier", 40)]
 
 
+def run_oracle_cell(policy_params, pcfg, vcfg, stats, n_samples: int,
+                    trials: int):
+    """Privileged-oracle selection (host-side): at every chunk boundary
+    pick the candidate whose executed copy-env progress is highest
+    (fake_expert.chunk_quality). This is the verifier-quality CEILING of
+    the engine's sample->select loop — what a perfect scorer would
+    deliver with the same policy, candidates, and env."""
+    import jax
+    from cover_vla_tpu.eval.fake_env import FakeWidowXEnv
+    from cover_vla_tpu.eval.fake_expert import (chunk_quality,
+                                                normalize_proprio)
+    from cover_vla_tpu.eval.adapters import BridgeSimplerAdapter
+    from cover_vla_tpu.models import pi0
+    from cover_vla_tpu.data.tokenizer import make_policy_tokenizer
+    from cover_vla_tpu.eval.benchmark import TASK_INSTRUCTIONS
+
+    ptok = make_policy_tokenizer(pcfg.paligemma.vocab_size)
+    instr = TASK_INSTRUCTIONS.get(TASK, TASK.replace("_", " "))
+    lt, lm = ptok.encode_batch([instr], pcfg.tokenizer_max_length)
+    adapter = BridgeSimplerAdapter()
+    prep = _policy_preprocess_fn(pcfg)
+    a_p01, a_p99 = stats.action.p01[:6], stats.action.p99[:6]
+    N = n_samples
+    sample = jax.jit(lambda key, img, state: pi0.sample_actions(
+        policy_params, pcfg, key, img, np.ones((1, 1), bool), lt, lm,
+        state, num_candidates=N, noise_std=1.0))
+
+    succ = 0
+    for tr in range(trials):
+        env = FakeWidowXEnv(TASK, max_steps=MAX_ENV_STEPS)
+        obs, _ = env.reset(seed=1000 + tr)
+        t, done, trunc = 0, False, False
+        while t < MAX_ENV_STEPS and not done:
+            frame = obs["image"]
+            proprio = adapter.preprocess_proprio(
+                {"agent": obs["agent"]}).astype(np.float32)
+            img = prep(frame[None])[:, None]
+            state = np.zeros((1, pcfg.max_state_dim), np.float32)
+            state[0, :7] = normalize_proprio(proprio, stats)
+            acts = np.asarray(sample(
+                jax.random.PRNGKey(31337 * tr + t), img, state)).reshape(
+                N, pcfg.chunk_size, pcfg.max_action_dim)[..., :7]
+            body = (acts[..., :6] + 1) / 2 * (a_p99 - a_p01) + a_p01
+            exec_chunks = np.concatenate(
+                [body[..., :3], body[..., 3:6],
+                 2.0 * (acts[..., 6:] > 0.5) - 1.0], -1)
+            q = [chunk_quality(env, exec_chunks[i]) for i in range(N)]
+            pick = int(np.argmax(q))
+            for s in range(pcfg.chunk_size):
+                obs, _, done, trunc, _ = env.step(exec_chunks[pick, s])
+                t += 1
+                if done or trunc:
+                    break
+            if trunc:
+                break
+        succ += int(done)
+    lo, hi = wilson_ci(succ, trials)
+    return {"mode": "oracle", "n_samples": n_samples, "successes": succ,
+            "episodes": trials, "success_rate": succ / trials,
+            "ci95": [round(lo, 4), round(hi, 4)]}
+
+
 def cmd_eval(args):
     pcfg, vcfg = experiment_configs()
     _, stats = _load_demos()
@@ -512,7 +582,13 @@ def cmd_eval(args):
         os.path.join(ART_DIR, "verifier_params.pkl"))
 
     cells = []
+    if args.merge and os.path.exists(os.path.join(ART_DIR, "results.json")):
+        with open(os.path.join(ART_DIR, "results.json")) as f:
+            cells = [c for c in json.load(f)["grid"]
+                     if args.modes and c["mode"] not in args.modes]
     for mode, n_samples in GRID:
+        if args.modes and mode not in args.modes:
+            continue
         t0 = time.time()
         out_dir = os.path.join(ART_DIR, "episodes",
                                f"{mode}_N{n_samples}")
@@ -536,6 +612,18 @@ def cmd_eval(args):
                if c["mode"] == "verifier" and c["n_samples"] == 16)
     assert abs(agg["per_task"][TASK]["success_rate"]
                - v16["success_rate"]) < 1e-9, "analyzer disagreement"
+
+    if args.with_oracle and (not args.modes or 'oracle' in args.modes):
+        for n_samples in (5, 16, 40):
+            t0 = time.time()
+            cell = run_oracle_cell(policy_params, pcfg, vcfg, stats,
+                                   n_samples, trials=args.trials)
+            cell["wall_s"] = round(time.time() - t0, 1)
+            cells.append(cell)
+            print(f"  {'oracle':9s} N={n_samples:3d}: "
+                  f"{cell['success_rate']:.2f} "
+                  f"[{cell['ci95'][0]:.2f},{cell['ci95'][1]:.2f}] "
+                  f"({cell['episodes']} eps, {cell['wall_s']}s)")
 
     with open(os.path.join(ART_DIR, "results.json"), "w") as f:
         json.dump({"grid": cells, "task": TASK,
@@ -575,12 +663,15 @@ def cmd_report(args):
         " CoVer loop (two-stage verified selection + gripper vote);"
         " **random** = a uniformly random candidate executes (statistically"
         " identical to plain pi0 — candidates are iid); **first** ="
-        " candidate 0 (plain pi0, shares the verifier arm's noise stream).",
+        " candidate 0 (plain pi0, shares the verifier arm's noise stream);"
+        " **oracle** = privileged selection by true env progress"
+        " (`fake_expert.chunk_quality`) — the ceiling a perfect scorer"
+        " would reach through the same sample->select loop.",
         "",
         "| selection | " + " | ".join(f"N={n}" for n in ns) + " |",
         "|---|" + "---|" * len(ns),
     ]
-    for mode in ("first", "random", "verifier"):
+    for mode in ("first", "random", "verifier", "oracle"):
         row = [fmt(cells.get((mode, n)) or
                    (cells.get((mode, 1)) if mode == "first" else None))
                for n in ns]
@@ -652,11 +743,19 @@ def main():
     v.add_argument("--objective", default="regression",
                    choices=["regression", "listwise"])
     v.add_argument("--min-spread", type=float, default=0.02)
+    v.add_argument("--augment", action=argparse.BooleanOptionalAction,
+                   default=True)
     v.set_defaults(fn=cmd_train_verifier)
 
     e = sub.add_parser("eval")
     e.add_argument("--trials", type=int, default=100)
     e.add_argument("--n-parallel", type=int, default=10)
+    e.add_argument("--with-oracle", action=argparse.BooleanOptionalAction,
+                   default=True)
+    e.add_argument("--modes", nargs="*", default=None,
+                   help="restrict to these selection modes")
+    e.add_argument("--merge", action="store_true",
+                   help="merge with existing results.json cells")
     e.set_defaults(fn=cmd_eval)
 
     r = sub.add_parser("report")
@@ -677,8 +776,10 @@ def main():
                              {"steps": 4000, "batch": 24, "lr": 1e-3,
                               "members": 2, "tau": 1.0,
                               "objective": "regression",
+                              "augment": True,
                               "min_spread": 0.02}),
-                            ("eval", {"trials": 100, "n_parallel": 10}),
+                            ("eval", {"trials": 100, "n_parallel": 10,
+                                      "with_oracle": True}),
                             ("report", {})):
             ns = argparse.Namespace(cmd=name, **extra)
             {"demos": cmd_demos, "train_policy": cmd_train_policy,
