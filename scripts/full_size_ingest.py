@@ -384,13 +384,20 @@ def cmd_run(args):
                 first.get("peak_bytes_in_use",
                           first["bytes_in_use"]) / 2**30, 2)
 
+    with open(os.path.join(args.dir, f"run_{args.tag}.json"), "w") as f:
+        json.dump(report, f, indent=1)  # partial write before cross-check
+
     # --- deterministic cross-check forward (bf16, fixed key) -------------
-    imgs = ((raw.astype(np.float32) / 255.0 - 0.5) / 0.5)[None, None]
+    imgs = ((raw.astype(np.float32) / 255.0 - 0.5) / 0.5)[None]
+    imgs = jax.image.resize(
+        jax.numpy.asarray(imgs),
+        (1, pcfg.vision.image_size, pcfg.vision.image_size, 3),
+        "bilinear")[None]                       # [1, 1, 224, 224, 3]
     state = np.zeros((1, pcfg.max_state_dim), np.float32)
     state[0, :7] = prop
     actions = pi0.sample_actions(
         policy_params, pcfg, jax.random.PRNGKey(42),
-        jax.numpy.asarray(imgs), np.ones((1, 1), bool), lt, lm,
+        imgs, np.ones((1, 1), bool), lt, lm,
         jax.numpy.asarray(state), num_candidates=1)
     traj = np.full((1, vcfg.history_length, 7), vcfg.action_padding_value,
                    np.float32)
