@@ -17,6 +17,7 @@ vs_baseline is against the BASELINE.json north star of 10 verified
 actions/sec/chip at N=16 (the reference publishes no latency numbers).
 """
 
+import argparse
 import json
 import os
 import sys
@@ -171,6 +172,15 @@ def _analytic_flops(pcfg, vcfg, ccfg, episodes: int) -> float:
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="measurement repeats; the JSON carries the median "
+                         "and the relative spread (max-min)/median so a "
+                         "few-percent drift is distinguishable from host "
+                         "contention noise")
+    args = ap.parse_args()
+    repeats = max(1, args.repeats)
+
     import jax
 
     # persistent compilation cache: the ~3 min of program compiles are paid
@@ -226,8 +236,9 @@ def main():
     t0 = time.time()
     jax.block_until_ready(call1(0))
     compile1_s = time.time() - t0
-    lat1 = _timeit(call1)
-    p50_single = float(np.median(lat1))
+    p50_single_r = [float(np.median(_timeit(call1)))
+                    for _ in range(repeats)]
+    p50_single = float(np.median(p50_single_r))
 
     # ---- E lockstep episodes --------------------------------------------
     stepE = make_verified_step_batched(pcfg, vcfg, ccfg, stats)
@@ -245,8 +256,9 @@ def main():
     t0 = time.time()
     jax.block_until_ready(callE(0))
     compileE_s = time.time() - t0
-    latE = _timeit(callE)
-    p50_batched = float(np.median(latE))
+    p50_batched_r = [float(np.median(_timeit(callE)))
+                     for _ in range(repeats)]
+    p50_batched = float(np.median(p50_batched_r))
 
     # pipelined throughput: issue dispatches back-to-back and block once at
     # the end, so the ~35-80 ms host/tunnel overhead overlaps device
@@ -255,10 +267,13 @@ def main():
     # env stepping). Profiled device time is ~346 ms/step vs ~424 ms
     # blocking wall time at E=16.
     n_pipe = 10
-    t0 = time.time()
-    outs = [callE(100 + i) for i in range(n_pipe)]
-    jax.block_until_ready(outs)
-    pipelined_step_s = (time.time() - t0) / n_pipe
+    pipelined_r = []
+    for r in range(repeats):
+        t0 = time.time()
+        outs = [callE(100 + 50 * r + i) for i in range(n_pipe)]
+        jax.block_until_ready(outs)
+        pipelined_r.append((time.time() - t0) / n_pipe)
+    pipelined_step_s = float(np.median(pipelined_r))
 
     # profiler-substantiated device time: trace a few pipelined dispatches
     # with jax.profiler and take the device lane's busy-time union — this
@@ -307,8 +322,9 @@ def main():
     t0 = time.time()
     jax.block_until_ready(call58(0))
     compile58_s = time.time() - t0
-    lat58 = _timeit(call58, n=6)
-    p50_58 = float(np.median(lat58))
+    p50_58_r = [float(np.median(_timeit(call58, n=6)))
+                for _ in range(repeats)]
+    p50_58 = float(np.median(p50_58_r))
 
     # ---- max-throughput mode: flash (pallas) tower MHA + fast-math
     # attention scores, pipelined dispatch — identical selected winners,
@@ -326,15 +342,23 @@ def main():
                      ltE, lmE, vtE, histE, hlenE)
 
     jax.block_until_ready(callM(0))
-    t0 = time.time()
-    outsM = [callM(200 + i) for i in range(n_pipe)]
-    jax.block_until_ready(outsM)
-    max_step_s = (time.time() - t0) / n_pipe
+    max_r = []
+    for r in range(repeats):
+        t0 = time.time()
+        outsM = [callM(200 + 50 * r + i) for i in range(n_pipe)]
+        jax.block_until_ready(outsM)
+        max_r.append((time.time() - t0) / n_pipe)
+    max_step_s = float(np.median(max_r))
 
     # headline = pipelined sustained throughput: the engine double-buffers
     # dispatches (batched_engine.py), and the blocking p50 is dominated by
     # measurement-tunnel latency that drifts 20-30% run to run while the
     # pipelined measure is stable within ~3%
+    def spread(vals):
+        """Relative spread (max-min)/median of the repeat medians."""
+        m = float(np.median(vals))
+        return round((max(vals) - min(vals)) / m, 4) if m > 0 else 0.0
+
     actions_per_sec = E * pcfg.chunk_size / pipelined_step_s
     print(json.dumps({
         "metric": "verified_actions_per_sec_chip_N16",
@@ -344,7 +368,12 @@ def main():
         "parallel_episodes": E,
         "candidates_per_episode": ccfg.batch_size,
         "chunk_size": pcfg.chunk_size,
+        "repeats": repeats,
+        "pipelined_spread": spread(pipelined_r),
+        "ref_protocol_spread": spread(p50_58_r),
+        "max_throughput_spread": spread(max_r),
         "p50_batched_step_ms": round(p50_batched * 1e3, 1),
+        "p50_batched_spread": spread(p50_batched_r),
         "pipelined_step_ms": round(pipelined_step_s * 1e3, 1),
         "pipelined_actions_per_sec": round(
             E * pcfg.chunk_size / pipelined_step_s, 2),

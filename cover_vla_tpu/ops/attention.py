@@ -68,23 +68,11 @@ def gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 # parity posture) or "pallas" (flash streaming softmax — no HBM score
 # tensor; ~19% faster at the verifier's 577-token shape on v5e, bf16-level
 # numeric deviation like any flash-vs-eager pair). Only mask/bias-free
-# calls take the pallas path.
-#
-# The preferred selection mechanism is per-call `backend=` plumbed from the
-# model configs (VitConfig.attn_impl / Pi0Config.attention_impl) — engines
-# built from different configs can coexist in one process. The module-level
-# default below only applies to calls that pass backend=None and is kept
-# for back-compat.
-_MHA_BACKEND = "xla"
-
-
-def set_mha_backend(name: str) -> None:
-    """Module DEFAULT for backend=None calls ("xla" | "pallas"). Affects
-    newly TRACED programs only. Prefer config plumbing (VitConfig.attn_impl
-    etc.) over this process-global toggle."""
-    global _MHA_BACKEND
-    assert name in ("xla", "pallas"), name
-    _MHA_BACKEND = name
+# calls take the pallas path. The backend is plumbed per-call from the
+# model configs (VitConfig.attn_impl / Pi0Config.attention_impl) — the
+# single source of truth; engines built from different configs coexist in
+# one process. (A process-global default toggle existed through round 3
+# and was removed: two sources of truth.)
 
 
 def mha_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -98,12 +86,13 @@ def mha_attention(q: jax.Array, k: jax.Array, v: jax.Array,
       q: [B, Sq, H, D]; k, v: [B, Skv, H, D]
       mask: optional bool[B, Sq, Skv] (True = attend).
       bias: optional float[B, Sq, Skv] added to the scores.
-      backend: "xla" | "pallas" | None (None = module default).
+      backend: "xla" (default) | "pallas" — plumb from model configs.
       fast_math: None = module default; True allows reduced-precision MXU
         passes for the score matmul.
     Returns: [B, Sq, H * D].
     """
-    backend = _MHA_BACKEND if backend is None else backend
+    backend = "xla" if backend is None else backend
+    assert backend in ("xla", "pallas"), backend
     if backend == "pallas" and mask is None and bias is None:
         from cover_vla_tpu.ops.pallas_attention import pallas_mha_dense
         return pallas_mha_dense(q, k, v)

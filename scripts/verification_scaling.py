@@ -376,13 +376,16 @@ def cmd_train_verifier(args):
     import jax as _jax
     from cover_vla_tpu.models import verifier as _verifier
 
+    # one compiled scoring program reused by every validation checkpoint
+    # (a fresh jit(lambda) per call would retrace every 200 steps)
+    score_fn = _jax.jit(lambda p, img, tt, tr: _verifier.score_actions(
+        p, vcfg, img, tt, tr))
+
     def val_regret(params):
         """Selection regret on held-out states, scored EXACTLY as the
         engine scores (verifier.score_actions: member embeddings fused by
         mean + renorm, then one dot) — a score-averaging proxy ranked
         checkpoints that inverted at engine time."""
-        score_fn = _jax.jit(lambda p, img, tt, tr: _verifier.score_actions(
-            p, vcfg, img, tt, tr))
         regs, accs = [], []
         for i in val[:128]:
             img = prep(frames[i][None].astype(np.float32))
@@ -603,15 +606,18 @@ def cmd_eval(args):
               f"[{cell['ci95'][0]:.2f},{cell['ci95'][1]:.2f}] "
               f"({cell['episodes']} eps, {cell['wall_s']}s)")
 
-    # cross-check one cell's numbers through the offline analyzer
-    from cover_vla_tpu.eval import analyze
-    eps = analyze.load_episodes(
-        os.path.join(ART_DIR, "episodes", "verifier_N16"))
-    agg = analyze.aggregate(eps)
-    v16 = next(c for c in cells
-               if c["mode"] == "verifier" and c["n_samples"] == 16)
-    assert abs(agg["per_task"][TASK]["success_rate"]
-               - v16["success_rate"]) < 1e-9, "analyzer disagreement"
+    # cross-check one cell's numbers through the offline analyzer — only
+    # when the verifier N=16 cell was evaluated IN THIS INVOCATION (its
+    # episode dir is gitignored and may be stale/absent under --modes)
+    v16_dir = os.path.join(ART_DIR, "episodes", "verifier_N16")
+    if ((not args.modes or "verifier" in args.modes)
+            and os.path.isdir(v16_dir)):
+        from cover_vla_tpu.eval import analyze
+        agg = analyze.aggregate(analyze.load_episodes(v16_dir))
+        v16 = next(c for c in cells
+                   if c["mode"] == "verifier" and c["n_samples"] == 16)
+        assert abs(agg["per_task"][TASK]["success_rate"]
+                   - v16["success_rate"]) < 1e-9, "analyzer disagreement"
 
     if args.with_oracle and (not args.modes or 'oracle' in args.modes):
         for n_samples in (5, 16, 40):
@@ -735,8 +741,8 @@ def main():
     rk.set_defaults(fn=cmd_rankdata)
 
     v = sub.add_parser("train_verifier")
-    v.add_argument("--steps", type=int, default=1000)
-    v.add_argument("--batch", type=int, default=48)
+    v.add_argument("--steps", type=int, default=4000)
+    v.add_argument("--batch", type=int, default=24)
     v.add_argument("--lr", type=float, default=1e-3)
     v.add_argument("--members", type=int, default=2)
     v.add_argument("--tau", type=float, default=1.0)
@@ -766,26 +772,17 @@ def main():
     args = ap.parse_args()
 
     if args.cmd == "all":
-        for name, extra in (("demos", {"n_demos": 300, "demo_noise": 0.008}),
-                            ("train_policy",
-                             {"steps": 1500, "batch": 64, "lr": 1e-3}),
-                            ("rankdata",
-                             {"episodes": 60, "n_candidates": 16,
-                              "noise_std": 1.0}),
-                            ("train_verifier",
-                             {"steps": 4000, "batch": 24, "lr": 1e-3,
-                              "members": 2, "tau": 1.0,
-                              "objective": "regression",
-                              "augment": True,
-                              "min_spread": 0.02}),
-                            ("eval", {"trials": 100, "n_parallel": 10,
-                                      "with_oracle": True}),
-                            ("report", {})):
-            ns = argparse.Namespace(cmd=name, **extra)
-            {"demos": cmd_demos, "train_policy": cmd_train_policy,
-             "rankdata": cmd_rankdata,
-             "train_verifier": cmd_train_verifier, "eval": cmd_eval,
-             "report": cmd_report}[name](ns)
+        # re-parse each stage's own subcommand so every argparse default
+        # (merge/modes/trials/...) applies — a hand-built Namespace once
+        # crashed cmd_eval hours into the pipeline by omitting `merge`
+        for argv in (["demos"],
+                     ["train_policy"],
+                     ["rankdata"],
+                     ["train_verifier"],
+                     ["eval"],
+                     ["report"]):
+            stage_args = ap.parse_args(argv)
+            stage_args.fn(stage_args)
     else:
         args.fn(args)
 

@@ -73,7 +73,7 @@ def test_pallas_prefill_flag():
 def test_pallas_mha_dense_matches_xla_interpret():
     """Dense flash MHA (interpret mode on CPU) == the eager einsum path at
     bf16 tolerance, including non-multiple-of-block sequence lengths and
-    the set_mha_backend switch."""
+    the per-call backend plumbing."""
     from cover_vla_tpu.ops import attention as att
     from cover_vla_tpu.ops.pallas_attention import pallas_mha_dense
 
@@ -87,14 +87,9 @@ def test_pallas_mha_dense_matches_xla_interpret():
                          np.float32)
         np.testing.assert_allclose(got, ref, atol=2e-2)
 
-    # backend switch routes mask-free calls only
-    att.set_mha_backend("pallas")
-    try:
-        assert att._MHA_BACKEND == "pallas"
-    finally:
-        att.set_mha_backend("xla")
+    # backend is per-call only (config-plumbed; no process-global toggle)
     with pytest.raises(AssertionError):
-        att.set_mha_backend("bogus")
+        att.mha_attention(q, k, v, backend="bogus")
 
 
 def test_pallas_shared_prefix_gqa_matches_xla_interpret():

@@ -85,3 +85,40 @@ def test_multihost_helpers_single_process():
     out = aggregate_metrics({"loss": np.float32(1.5), "acc": 0.5})
     assert out == {"loss": 1.5, "acc": 0.5}
     barrier("test")  # no-op single host... must not raise
+
+
+def test_init_multihost_env_parsing():
+    """resolve_multihost_env: arg/env precedence, single-process no-op,
+    and the half-configured-launch guard (a COORDINATOR_ADDRESS typo must
+    raise, not silently fall back to world size 1)."""
+    import pytest
+    from cover_vla_tpu.parallel.distributed import (
+        init_multihost, resolve_multihost_env)
+
+    # single-process: nothing configured -> None; init is a no-op False
+    assert resolve_multihost_env(env={}) is None
+    assert init_multihost() is False
+
+    # full env config
+    env = {"COORDINATOR_ADDRESS": "10.0.0.1:1234",
+           "NUM_PROCESSES": "4", "PROCESS_ID": "2"}
+    assert resolve_multihost_env(env=env) == {
+        "coordinator_address": "10.0.0.1:1234",
+        "num_processes": 4, "process_id": 2}
+
+    # explicit args beat env vars
+    got = resolve_multihost_env("other:1", num_processes=8, process_id=0,
+                                env=env)
+    assert got == {"coordinator_address": "other:1",
+                   "num_processes": 8, "process_id": 0}
+
+    # coordinator without world-size info defaults to 1/0
+    got = resolve_multihost_env(env={"COORDINATOR_ADDRESS": "a:1"})
+    assert got == {"coordinator_address": "a:1",
+                   "num_processes": 1, "process_id": 0}
+
+    # half-configured launch (world size but no coordinator) must raise
+    with pytest.raises(ValueError):
+        resolve_multihost_env(env={"NUM_PROCESSES": "4"})
+    with pytest.raises(ValueError):
+        resolve_multihost_env(env={"PROCESS_ID": "1"})
