@@ -19,11 +19,22 @@ from cover_vla_tpu.configs import Pi0Config, VerifierConfig, CoVerConfig
 from cover_vla_tpu.data.stats import DatasetStatistics
 from cover_vla_tpu.data.tokenizer import (
     Tokenizer, make_policy_tokenizer, make_verifier_tokenizer)
-from cover_vla_tpu.engine.verified_step import make_verified_step_batched
+from cover_vla_tpu.engine.verified_step import (
+    make_propose_step_batched, make_select_step_batched,
+    make_verified_step_batched)
 
 
 class BatchedCoVerEngine:
-    """E lockstep episodes, one device call per chunk_size control ticks."""
+    """E lockstep episodes, one device call per chunk_size control ticks.
+
+    With `ccfg.selection == "injected"` the chunk-boundary device work
+    splits into propose (sample + decode all candidates) and select (the
+    engine's two-stage gate + group-mean + gripper vote over an externally
+    supplied score vector); between them the host `score_fn`
+    (exec_chunks [E, K*N, chunk, 7] -> scores [E, K*N]) ranks the
+    candidates. Every selection arm therefore runs the identical on-device
+    selection program, differing only in where the scores come from.
+    """
 
     def __init__(self, policy_params, verifier_params,
                  pcfg: Pi0Config, vcfg: VerifierConfig, ccfg: CoVerConfig,
@@ -32,7 +43,7 @@ class BatchedCoVerEngine:
                  policy_tokenizer: Optional[Tokenizer] = None,
                  verifier_tokenizer: Optional[Tokenizer] = None,
                  rephrases: Optional[Dict[str, List[str]]] = None,
-                 seed: int = 0, step_fn=None):
+                 seed: int = 0, step_fn=None, score_fn=None):
         self.policy_params = policy_params
         self.verifier_params = verifier_params
         self.pcfg, self.vcfg, self.ccfg = pcfg, vcfg, ccfg
@@ -43,9 +54,19 @@ class BatchedCoVerEngine:
         self.verifier_tok = verifier_tokenizer or make_verifier_tokenizer(
             vcfg.text.vocab_size)
         self.rephrases = rephrases or {}
-        # step_fn lets cohort engines share one jitted program (same E)
-        self._step_fn = step_fn or make_verified_step_batched(
-            pcfg, vcfg, ccfg, self.stats)
+        self.score_fn = score_fn
+        self.score_fn_factory = None   # optional: factory(envs) -> score_fn
+        if ccfg.selection == "injected":
+            # step_fn (when shared between cohort engines) is the
+            # (propose, select) pair for this mode
+            self._propose_fn, self._select_fn = step_fn or (
+                make_propose_step_batched(pcfg, vcfg, ccfg, self.stats),
+                make_select_step_batched(ccfg))
+            self._step_fn = None
+        else:
+            # step_fn lets cohort engines share one jitted program (same E)
+            self._step_fn = step_fn or make_verified_step_batched(
+                pcfg, vcfg, ccfg, self.stats)
         self._key = jax.random.PRNGKey(seed)
         self.reset([""] * num_episodes)
 
@@ -100,16 +121,40 @@ class BatchedCoVerEngine:
 
             self._key, sub = jax.random.split(self._key)
             keys = jax.random.split(sub, self.E)
-            # async dispatch: res holds device arrays; no host sync yet
-            res = self._step_fn(
-                self.policy_params, self.verifier_params, keys,
-                np.ascontiguousarray(raw_images),
-                np.asarray(proprios, np.float32),
-                lang_tokens, lang_masks, vtoks,
-                self._history, self._history_len)
+            if self.ccfg.selection == "injected":
+                if self.score_fn is None:
+                    raise ValueError(
+                        "selection='injected' needs engine.score_fn "
+                        "(exec_chunks [E,K*N,chunk,7] -> scores [E,K*N])")
+                proposal = self._propose_fn(
+                    self.policy_params, keys,
+                    np.ascontiguousarray(raw_images),
+                    np.asarray(proprios, np.float32),
+                    lang_tokens, lang_masks,
+                    self._history, self._history_len)
+
+                def res_thunk():
+                    scores = np.asarray(
+                        self.score_fn(np.asarray(proposal.exec_chunks)),
+                        np.float32)
+                    return self._select_fn(
+                        scores, proposal.exec_chunks,
+                        proposal.verifier_chunks, proposal.raw_grippers)
+            else:
+                # async dispatch: res holds device arrays; no host sync yet
+                res0 = self._step_fn(
+                    self.policy_params, self.verifier_params, keys,
+                    np.ascontiguousarray(raw_images),
+                    np.asarray(proprios, np.float32),
+                    lang_tokens, lang_masks, vtoks,
+                    self._history, self._history_len)
+
+                def res_thunk():
+                    return res0
             prompts_at_dispatch = [self._prompts(e) for e in range(self.E)]
 
             def resolve():
+                res = res_thunk()
                 exec_chunks = np.asarray(res.exec_chunk)   # [E, chunk, 7]
                 verif_chunks = np.asarray(res.verifier_chunk)
                 groups = np.asarray(res.winner_group)
@@ -162,6 +207,8 @@ def evaluate_batched_pipelined(engine_a: BatchedCoVerEngine,
             obs.append(o)
             tasks.append(env.get_language_instruction())
         engine.reset(tasks)
+        if getattr(engine, "score_fn_factory", None) is not None:
+            engine.score_fn = engine.score_fn_factory(envs)
         return {"obs": obs, "done": np.zeros(len(envs), bool),
                 "success": np.zeros(len(envs), bool),
                 "steps": np.zeros(len(envs), np.int32)}
@@ -227,6 +274,10 @@ def evaluate_batched(engine: BatchedCoVerEngine, envs: Sequence,
         obs.append(o)
         tasks.append(env.get_language_instruction())
     engine.reset(tasks)
+    # injected-score selection: bind the external scorer to THIS cohort's
+    # envs (e.g. the privileged progress oracle closes over the live envs)
+    if getattr(engine, "score_fn_factory", None) is not None:
+        engine.score_fn = engine.score_fn_factory(envs)
 
     done = np.zeros(e_count, bool)
     success = np.zeros(e_count, bool)

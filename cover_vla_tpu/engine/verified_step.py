@@ -86,6 +86,82 @@ def _verifier_image(raw_u8: jax.Array, size: int) -> jax.Array:
     return ((x / 255.0) - 0.5) / 0.5
 
 
+def decode_candidates(actions: jax.Array, a_p01: jax.Array,
+                      a_p99: jax.Array):
+    """Normalised policy outputs [..., 7] -> both engine action formats.
+
+    THE shared denormalisation formula — the single source for the engine,
+    the oracle/injected arms, and the experiment's ranking-data collector
+    (drift between host copies of this math is what the injected selection
+    mode exists to eliminate).
+
+    Returns (exec [xyz | axis-angle | gripper ±1],
+             verif [xyz | euler | gripper 0/1],
+             grip raw [0, 1] policy gripper output).
+    Mirrors SimplerAdapter.postprocess / postprocess_verifier
+    (simpler.py:96-166, 211-226).
+    """
+    body = (actions[..., :6] + 1) / 2 * (a_p99[:6] - a_p01[:6]) + a_p01[:6]
+    grip = actions[..., 6:]
+    exec_grip = 2.0 * (grip > 0.5) - 1.0
+    verif_grip = (grip >= 0.5).astype(jnp.float32)
+    rotvec = euler_to_rotvec(body[..., 3:6])
+    exec_chunks = jnp.concatenate([body[..., :3], rotvec, exec_grip], -1)
+    verif_chunks = jnp.concatenate([body, verif_grip], -1)
+    return exec_chunks, verif_chunks, grip
+
+
+def assemble_trajectories(verif_chunks: jax.Array, history: jax.Array,
+                          history_len: jax.Array, max_history: int,
+                          padding_value: float):
+    """[C, chunk, 7] candidate futures + [max_history, 7] shared past ->
+    [C, max_history + chunk, 7] verifier trajectories, -5 top padding
+    (eval_utils.py:172-221 + efficient_ensemble_merged.py:378-390)."""
+    c = verif_chunks.shape[0]
+    hist = jnp.broadcast_to(history[None], (c,) + history.shape)
+    traj = jnp.concatenate([hist, verif_chunks], axis=1)
+    row = jnp.arange(traj.shape[1])[None, :, None]
+    valid = row >= (max_history - history_len)
+    return jnp.where(valid, traj, padding_value)
+
+
+def select_from_scores(scores: jax.Array, n_samples: int,
+                       rescore_threshold: float):
+    """Two-stage branch-free selection over [K*N] candidate scores
+    (run_simpler_eval_with_openpi.py:346-365 + merged engine :427-447):
+    stage 1 accepts candidate 0 iff its score >= threshold; stage 2 picks
+    the best candidate inside the group-mean-best language group. A
+    threshold of +inf disables the gate (always stage 2 / pure grouped
+    argmax). Returns (winner, max_score, used_stage2)."""
+    n = n_samples
+    score0 = scores[0]
+    grouped = scores.reshape(-1, n)
+    group_means = jnp.mean(grouped, axis=1)
+    best_group = jnp.argmax(group_means)
+    best_in_group = jnp.argmax(grouped[best_group])
+    stage2_idx = best_group * n + best_in_group
+    used_stage2 = score0 < rescore_threshold
+    winner = jnp.where(used_stage2, stage2_idx, 0)
+    max_score = jnp.where(used_stage2, scores[stage2_idx], score0)
+    return winner, max_score, used_stage2
+
+
+def vote_gripper(exec_chunks: jax.Array, exec_chunk: jax.Array,
+                 winner_group: jax.Array, n_samples: int) -> jax.Array:
+    """Majority gripper vote over the winning language group's candidates,
+    applied to the executed chunk's FIRST step
+    (run_simpler_eval_with_openpi.py:375-392)."""
+    group_grippers = jax.lax.dynamic_slice_in_dim(
+        exec_chunks[:, 0, 6], winner_group * n_samples, n_samples)
+    close_votes = jnp.sum(group_grippers >= 0)
+    open_votes = n_samples - close_votes
+    voted = jnp.where(
+        close_votes > open_votes, 1.0,
+        jnp.where(open_votes > close_votes, -1.0,
+                  jnp.where(exec_chunk[0, 6] >= 0, 1.0, -1.0)))
+    return exec_chunk.at[0, 6].set(jnp.sign(voted))
+
+
 def _build_step(pcfg: Pi0Config, vcfg: VerifierConfig,
                 ccfg: CoVerConfig, stats: DatasetStatistics):
     """Build the unjitted single-episode verified step (see
@@ -135,20 +211,13 @@ def _build_step(pcfg: Pi0Config, vcfg: VerifierConfig,
                                   pcfg.max_action_dim)[..., :7]
 
         # 4. both action formats, on-device ------------------------------
-        body = (actions[..., :6] + 1) / 2 * (a_p99[:6] - a_p01[:6]) + a_p01[:6]
-        grip = actions[..., 6:]
-        exec_grip = 2.0 * (grip > 0.5) - 1.0
-        verif_grip = (grip >= 0.5).astype(jnp.float32)
-        rotvec = euler_to_rotvec(body[..., 3:6])
-        exec_chunks = jnp.concatenate([body[..., :3], rotvec, exec_grip], -1)
-        verif_chunks = jnp.concatenate([body, verif_grip], -1)
+        exec_chunks, verif_chunks, grip = decode_candidates(
+            actions, a_p01, a_p99)
 
         # 5. trajectories: [K*N, max_history + chunk, 7], -5 top padding --
-        hist = jnp.broadcast_to(history[None], (K * N,) + history.shape)
-        traj = jnp.concatenate([hist, verif_chunks], axis=1)
-        row = jnp.arange(vcfg.history_length)[None, :, None]
-        valid = row >= (ccfg.max_history - history_len)
-        traj = jnp.where(valid, traj, vcfg.action_padding_value)
+        traj = assemble_trajectories(verif_chunks, history, history_len,
+                                     ccfg.max_history,
+                                     vcfg.action_padding_value)
 
         # 6. verifier scoring under the current instruction --------------
         # (skipped entirely for the ablation baselines — "random"/"first"
@@ -159,15 +228,8 @@ def _build_step(pcfg: Pi0Config, vcfg: VerifierConfig,
                 verifier_params, vcfg, vimg, verifier_tokens[None], traj)
 
             # 7. two-stage selection, branch-free ------------------------
-            score0 = scores[0]
-            grouped = scores.reshape(K, N)
-            group_means = jnp.mean(grouped, axis=1)
-            best_group = jnp.argmax(group_means)
-            best_in_group = jnp.argmax(grouped[best_group])
-            stage2_idx = best_group * N + best_in_group
-            used_stage2 = score0 < ccfg.rescore_threshold
-            winner = jnp.where(used_stage2, stage2_idx, 0)
-            max_score = jnp.where(used_stage2, scores[stage2_idx], score0)
+            winner, max_score, used_stage2 = select_from_scores(
+                scores, N, ccfg.rescore_threshold)
         elif ccfg.selection == "random":
             scores = jnp.zeros((K * N,), jnp.float32)
             winner = jax.random.randint(sel_key, (), 0, K * N)
@@ -179,23 +241,18 @@ def _build_step(pcfg: Pi0Config, vcfg: VerifierConfig,
             max_score = jnp.float32(0.0)
             used_stage2 = jnp.bool_(False)
         else:
-            raise ValueError(f"unknown selection mode {ccfg.selection!r}")
+            raise ValueError(f"unknown selection mode {ccfg.selection!r} "
+                             "(the 'injected' mode uses make_propose_step "
+                             "+ make_select_step)")
 
         exec_chunk = exec_chunks[winner]
         verifier_chunk = verif_chunks[winner]
 
         # 8. gripper majority vote within the winning language group -----
         winner_group = winner // N
-        group_grippers = jax.lax.dynamic_slice_in_dim(
-            exec_chunks[:, 0, 6], winner_group * N, N)
-        close_votes = jnp.sum(group_grippers >= 0)
-        open_votes = N - close_votes
-        voted = jnp.where(
-            close_votes > open_votes, 1.0,
-            jnp.where(open_votes > close_votes, -1.0,
-                      jnp.where(exec_chunk[0, 6] >= 0, 1.0, -1.0)))
         if ccfg.gripper_vote:
-            exec_chunk = exec_chunk.at[0, 6].set(jnp.sign(voted))
+            exec_chunk = vote_gripper(exec_chunks, exec_chunk,
+                                      winner_group, N)
 
         return VerifiedStepResult(
             exec_chunk=exec_chunk, verifier_chunk=verifier_chunk,
@@ -230,6 +287,105 @@ def make_verified_step_batched(pcfg: Pi0Config, vcfg: VerifierConfig,
     step = _build_step(pcfg, vcfg, ccfg, stats)
     return jax.jit(jax.vmap(step, in_axes=(None, None, 0, 0, 0, 0, 0, 0,
                                            0, 0)))
+
+
+class ProposeResult(NamedTuple):
+    exec_chunks: jax.Array      # [K*N, chunk, 7] execution-format candidates
+    verifier_chunks: jax.Array  # [K*N, chunk, 7] verifier-format candidates
+    trajectories: jax.Array     # [K*N, history_length, 7] verifier trajs
+    raw_grippers: jax.Array     # [K*N, chunk, 1] raw [0,1] gripper outputs
+
+
+def _build_propose(pcfg: Pi0Config, vcfg: VerifierConfig,
+                   ccfg: CoVerConfig, stats: DatasetStatistics):
+    """Candidate-proposal half of the injected-score selection mode: runs
+    steps 1-5 of the verified step (preprocess, sample, decode both action
+    formats, assemble trajectories) and returns ALL candidates to the host
+    so an external scorer — a privileged oracle, a remote model, a replayed
+    score vector — can rank them. Selection then runs on-device through
+    the IDENTICAL code the verifier arm uses (make_select_step), so every
+    arm of a scaling grid differs only in the score vector
+    (the ablation-arm discipline of the reference's headline table,
+    README.md:136-155)."""
+    if ccfg.max_history + pcfg.chunk_size != vcfg.history_length:
+        raise ValueError(
+            f"verifier history_length ({vcfg.history_length}) must equal "
+            f"max_history ({ccfg.max_history}) + chunk_size ({pcfg.chunk_size})")
+    a_p01 = jnp.asarray(stats.action.p01, jnp.float32)
+    a_p99 = jnp.asarray(stats.action.p99, jnp.float32)
+    p_p01 = jnp.asarray(stats.proprio.p01, jnp.float32)
+    p_p99 = jnp.asarray(stats.proprio.p99, jnp.float32)
+    K, N = ccfg.n_rephrases, ccfg.n_samples
+
+    def propose(policy_params: Params, key: jax.Array,
+                raw_image: jax.Array, proprio: jax.Array,
+                lang_tokens: jax.Array, lang_masks: jax.Array,
+                history: jax.Array, history_len: jax.Array) -> ProposeResult:
+        img = _policy_image(raw_image, pcfg.vision.image_size)
+        state_norm = 2 * (proprio - p_p01) / (p_p99 - p_p01 + 1e-8) - 1
+        state_norm = jnp.clip(state_norm, -1, 1)
+        state = jnp.zeros((1, pcfg.max_state_dim), jnp.float32
+                          ).at[0, :7].set(state_norm)
+        state_k = jnp.broadcast_to(state, (K, pcfg.max_state_dim))
+        images = img[None, None]
+        img_masks = jnp.ones((1, pcfg.num_images), dtype=bool)
+        actions = pi0.sample_actions(
+            policy_params, pcfg, key, images, img_masks, lang_tokens,
+            lang_masks, state_k, num_candidates=N, noise_std=ccfg.noise_std)
+        actions = actions.reshape(K * N, pcfg.chunk_size,
+                                  pcfg.max_action_dim)[..., :7]
+        exec_chunks, verif_chunks, grip = decode_candidates(
+            actions, a_p01, a_p99)
+        traj = assemble_trajectories(verif_chunks, history, history_len,
+                                     ccfg.max_history,
+                                     vcfg.action_padding_value)
+        return ProposeResult(exec_chunks, verif_chunks, traj, grip)
+
+    return propose
+
+
+def _build_select(ccfg: CoVerConfig):
+    """Selection half of the injected-score mode: the EXACT two-stage gate
+    + group-mean language selection + gripper vote the verifier arm runs,
+    applied to an externally supplied score vector."""
+    N = ccfg.n_samples
+
+    def select(scores: jax.Array, exec_chunks: jax.Array,
+               verif_chunks: jax.Array,
+               raw_grippers: jax.Array) -> VerifiedStepResult:
+        winner, max_score, used_stage2 = select_from_scores(
+            scores, N, ccfg.rescore_threshold)
+        exec_chunk = exec_chunks[winner]
+        verifier_chunk = verif_chunks[winner]
+        winner_group = winner // N
+        if ccfg.gripper_vote:
+            exec_chunk = vote_gripper(exec_chunks, exec_chunk,
+                                      winner_group, N)
+        return VerifiedStepResult(
+            exec_chunk=exec_chunk, verifier_chunk=verifier_chunk,
+            winner_idx=winner.astype(jnp.int32),
+            winner_group=winner_group.astype(jnp.int32),
+            max_score=max_score.astype(jnp.float32),
+            used_stage2=used_stage2, scores=scores,
+            raw_gripper=raw_grippers[winner, :, 0])
+
+    return select
+
+
+def make_propose_step_batched(pcfg: Pi0Config, vcfg: VerifierConfig,
+                              ccfg: CoVerConfig, stats: DatasetStatistics):
+    """Episode-batched candidate proposal (leading E axis on every
+    per-episode argument: key [E,2], raw_image [E,H,W,3], proprio [E,7],
+    lang_tokens/masks [E,K,T], history [E,max_hist,7], history_len [E])."""
+    propose = _build_propose(pcfg, vcfg, ccfg, stats)
+    return jax.jit(jax.vmap(propose, in_axes=(None, 0, 0, 0, 0, 0, 0, 0)))
+
+
+def make_select_step_batched(ccfg: CoVerConfig):
+    """Episode-batched injected-score selection (scores [E, K*N] plus the
+    batched ProposeResult arrays)."""
+    select = _build_select(ccfg)
+    return jax.jit(jax.vmap(select, in_axes=(0, 0, 0, 0)))
 
 
 def make_verified_step_sharded(pcfg: Pi0Config, vcfg: VerifierConfig,

@@ -156,7 +156,8 @@ def evaluate_suite_batched(policy_params, verifier_params, pcfg, vcfg, ccfg,
                            env_fn=None, stats=None, rephrases=None,
                            pipelined: bool = False, seed: int = 0,
                            policy_tokenizer=None, verifier_tokenizer=None,
-                           out_dir: Optional[str] = None) -> Dict:
+                           out_dir: Optional[str] = None,
+                           score_fn_factory=None) -> Dict:
     """Suite evaluation through the lockstep-batched engine (the fast
     path): trials of each task run in cohorts of `n_parallel` episodes, one
     device dispatch serving the whole cohort per control step — the
@@ -168,10 +169,18 @@ def evaluate_suite_batched(policy_params, verifier_params, pcfg, vcfg, ccfg,
     Cohorts are padded to `n_parallel` with extra seeds so one jitted
     program serves every cohort; padding episodes are dropped from the
     results. WidowX convention only (google_robot tasks need the sticky
-    gripper host path — use the per-episode evaluator)."""
+    gripper host path — use the per-episode evaluator).
+
+    score_fn_factory (requires ccfg.selection == "injected"):
+    `factory(envs) -> score_fn(exec_chunks [E,K*N,chunk,7]) -> [E,K*N]` —
+    an external candidate scorer bound to each cohort's live envs; the
+    selection machinery (gate + group-mean + gripper vote) still runs
+    on-device through the same program as the verifier arm."""
     from cover_vla_tpu.engine.batched_engine import (
         BatchedCoVerEngine, evaluate_batched, evaluate_batched_pipelined)
-    from cover_vla_tpu.engine.verified_step import make_verified_step_batched
+    from cover_vla_tpu.engine.verified_step import (
+        make_propose_step_batched, make_select_step_batched,
+        make_verified_step_batched)
     from cover_vla_tpu.data.stats import DatasetStatistics
 
     bench = get_benchmark(cfg.task_suite)()
@@ -184,15 +193,23 @@ def evaluate_suite_batched(policy_params, verifier_params, pcfg, vcfg, ccfg,
                 "--eval.n_parallel 1")
     stats = stats or DatasetStatistics.from_json()
     adapter = BridgeSimplerAdapter(stats=stats)
-    step_fn = make_verified_step_batched(pcfg, vcfg, ccfg, stats)
+    if ccfg.selection == "injected":
+        if score_fn_factory is None:
+            raise ValueError("selection='injected' needs score_fn_factory")
+        step_fn = (make_propose_step_batched(pcfg, vcfg, ccfg, stats),
+                   make_select_step_batched(ccfg))
+    else:
+        step_fn = make_verified_step_batched(pcfg, vcfg, ccfg, stats)
 
     def make_engine(s):
-        return BatchedCoVerEngine(
+        engine = BatchedCoVerEngine(
             policy_params, verifier_params, pcfg, vcfg, ccfg,
             num_episodes=n_parallel, stats=stats, rephrases=rephrases,
             seed=s, step_fn=step_fn,
             policy_tokenizer=policy_tokenizer,
             verifier_tokenizer=verifier_tokenizer)
+        engine.score_fn_factory = score_fn_factory
+        return engine
 
     engine_a = make_engine(seed)
     engine_b = make_engine(seed + 1) if pipelined else None

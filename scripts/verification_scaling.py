@@ -471,10 +471,27 @@ def wilson_ci(k: int, n: int, z: float = 1.96):
     return (max(0.0, centre - half), min(1.0, centre + half))
 
 
+def oracle_score_factory(envs):
+    """Privileged progress oracle as an injected-score scorer: each
+    candidate's score is the true potential gain a copy of the live env
+    makes executing it (fake_expert.chunk_quality). Bound per cohort by
+    evaluate_suite_batched; the engine's propose/select programs do
+    everything else — sampling, denormalisation, selection — so this arm
+    differs from the verifier arm ONLY in the score vector."""
+    from cover_vla_tpu.eval.fake_expert import chunk_quality
+
+    def score_fn(exec_chunks: np.ndarray) -> np.ndarray:  # [E, KN, chunk, 7]
+        e_n, kn = exec_chunks.shape[:2]
+        return np.asarray(
+            [[chunk_quality(envs[e], exec_chunks[e, i]) for i in range(kn)]
+             for e in range(e_n)], np.float32)
+
+    return score_fn
+
+
 def run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
              mode: str, n_samples: int, trials: int, n_parallel: int,
              seed: int, out_dir=None):
-    import dataclasses
     from cover_vla_tpu.configs import CoVerConfig
     from cover_vla_tpu.eval.evaluator import (
         EvalConfig, evaluate_suite_batched)
@@ -485,10 +502,24 @@ def run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
     if out_dir:
         import shutil
         shutil.rmtree(out_dir, ignore_errors=True)  # stale episode pkls
-    ccfg = CoVerConfig(
-        n_samples=n_samples, n_rephrases=1, noise_std=1.0,
-        selection=mode, gripper_vote=(mode == "verifier"),
-        max_history=vcfg.history_length - pcfg.chunk_size)
+    if mode == "oracle":
+        # the verifier-quality CEILING: engine-native injected scores from
+        # the privileged progress oracle, pure grouped argmax (threshold
+        # +inf disables the stage-1 gate — raw potential gains are not on
+        # the cosine scale it was tuned for) and no gripper vote (the
+        # oracle's gripper choice IS the evaluated quantity)
+        ccfg = CoVerConfig(
+            n_samples=n_samples, n_rephrases=1, noise_std=1.0,
+            selection="injected", gripper_vote=False,
+            rescore_threshold=float("inf"),
+            max_history=vcfg.history_length - pcfg.chunk_size)
+        score_fn_factory = oracle_score_factory
+    else:
+        ccfg = CoVerConfig(
+            n_samples=n_samples, n_rephrases=1, noise_std=1.0,
+            selection=mode, gripper_vote=(mode == "verifier"),
+            max_history=vcfg.history_length - pcfg.chunk_size)
+        score_fn_factory = None
     ecfg = EvalConfig(task_suite=TASK, num_trials_per_task=trials,
                       max_steps=MAX_ENV_STEPS, seed=1000, seed_period=10_000)
     out = evaluate_suite_batched(
@@ -498,7 +529,7 @@ def run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
         stats=stats, seed=seed,
         policy_tokenizer=make_policy_tokenizer(pcfg.paligemma.vocab_size),
         verifier_tokenizer=make_verifier_tokenizer(vcfg.text.vocab_size),
-        out_dir=out_dir)
+        out_dir=out_dir, score_fn_factory=score_fn_factory)
     task_stats = out["summary"]["per_task"][TASK]
     succ = [e["success"] for e in task_stats["per_episode"]]
     k, n = int(np.sum(succ)), len(succ)
@@ -513,68 +544,6 @@ def run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
 GRID = [("first", 1), ("random", 5), ("random", 16), ("random", 40),
         ("verifier", 1), ("verifier", 5), ("verifier", 16),
         ("verifier", 40)]
-
-
-def run_oracle_cell(policy_params, pcfg, vcfg, stats, n_samples: int,
-                    trials: int):
-    """Privileged-oracle selection (host-side): at every chunk boundary
-    pick the candidate whose executed copy-env progress is highest
-    (fake_expert.chunk_quality). This is the verifier-quality CEILING of
-    the engine's sample->select loop — what a perfect scorer would
-    deliver with the same policy, candidates, and env."""
-    import jax
-    from cover_vla_tpu.eval.fake_env import FakeWidowXEnv
-    from cover_vla_tpu.eval.fake_expert import (chunk_quality,
-                                                normalize_proprio)
-    from cover_vla_tpu.eval.adapters import BridgeSimplerAdapter
-    from cover_vla_tpu.models import pi0
-    from cover_vla_tpu.data.tokenizer import make_policy_tokenizer
-    from cover_vla_tpu.eval.benchmark import TASK_INSTRUCTIONS
-
-    ptok = make_policy_tokenizer(pcfg.paligemma.vocab_size)
-    instr = TASK_INSTRUCTIONS.get(TASK, TASK.replace("_", " "))
-    lt, lm = ptok.encode_batch([instr], pcfg.tokenizer_max_length)
-    adapter = BridgeSimplerAdapter()
-    prep = _policy_preprocess_fn(pcfg)
-    a_p01, a_p99 = stats.action.p01[:6], stats.action.p99[:6]
-    N = n_samples
-    sample = jax.jit(lambda key, img, state: pi0.sample_actions(
-        policy_params, pcfg, key, img, np.ones((1, 1), bool), lt, lm,
-        state, num_candidates=N, noise_std=1.0))
-
-    succ = 0
-    for tr in range(trials):
-        env = FakeWidowXEnv(TASK, max_steps=MAX_ENV_STEPS)
-        obs, _ = env.reset(seed=1000 + tr)
-        t, done, trunc = 0, False, False
-        while t < MAX_ENV_STEPS and not done:
-            frame = obs["image"]
-            proprio = adapter.preprocess_proprio(
-                {"agent": obs["agent"]}).astype(np.float32)
-            img = prep(frame[None])[:, None]
-            state = np.zeros((1, pcfg.max_state_dim), np.float32)
-            state[0, :7] = normalize_proprio(proprio, stats)
-            acts = np.asarray(sample(
-                jax.random.PRNGKey(31337 * tr + t), img, state)).reshape(
-                N, pcfg.chunk_size, pcfg.max_action_dim)[..., :7]
-            body = (acts[..., :6] + 1) / 2 * (a_p99 - a_p01) + a_p01
-            exec_chunks = np.concatenate(
-                [body[..., :3], body[..., 3:6],
-                 2.0 * (acts[..., 6:] > 0.5) - 1.0], -1)
-            q = [chunk_quality(env, exec_chunks[i]) for i in range(N)]
-            pick = int(np.argmax(q))
-            for s in range(pcfg.chunk_size):
-                obs, _, done, trunc, _ = env.step(exec_chunks[pick, s])
-                t += 1
-                if done or trunc:
-                    break
-            if trunc:
-                break
-        succ += int(done)
-    lo, hi = wilson_ci(succ, trials)
-    return {"mode": "oracle", "n_samples": n_samples, "successes": succ,
-            "episodes": trials, "success_rate": succ / trials,
-            "ci95": [round(lo, 4), round(hi, 4)]}
 
 
 def cmd_eval(args):
@@ -622,8 +591,11 @@ def cmd_eval(args):
     if args.with_oracle and (not args.modes or 'oracle' in args.modes):
         for n_samples in (5, 16, 40):
             t0 = time.time()
-            cell = run_oracle_cell(policy_params, pcfg, vcfg, stats,
-                                   n_samples, trials=args.trials)
+            cell = run_cell(policy_params, verifier_params, pcfg, vcfg,
+                            stats, "oracle", n_samples, trials=args.trials,
+                            n_parallel=args.n_parallel, seed=7,
+                            out_dir=os.path.join(ART_DIR, "episodes",
+                                                 f"oracle_N{n_samples}"))
             cell["wall_s"] = round(time.time() - t0, 1)
             cells.append(cell)
             print(f"  {'oracle':9s} N={n_samples:3d}: "
