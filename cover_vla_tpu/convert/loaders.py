@@ -12,10 +12,17 @@ policy_wrapper.py:91-113). Formats accepted here:
   verifier: * orbax param dir
             * merged-ensemble .pt (`ensemble_components` schema,
               efficient_ensemble_merged.py:36-53)
+
+Torch-format sources are convert-once: the converted JAX tree is written
+to a `<file>.jaxcache/` orbax directory beside the source (key: source
+mtime+size), so checkpoint-iteration reloads skip the torch->JAX
+restructuring entirely (the 3.24B convert is ~40 min on this host; the
+cached reload is an orbax restore + device transfer).
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Dict
 
@@ -29,7 +36,39 @@ def _is_orbax_dir(path: str) -> bool:
         os.path.join(path, "model.safetensors"))
 
 
-def load_policy_params(path: str, cfg: Pi0Config) -> Dict[str, Any]:
+def _cache_key(src: str) -> Dict[str, Any]:
+    st = os.stat(src)
+    return {"mtime": st.st_mtime, "size": st.st_size}
+
+
+def _cached_convert(src: str, convert_fn, cache: bool):
+    """Convert-once wrapper: orbax-restore `<src>.jaxcache/` when its meta
+    matches the source file, else convert and write through."""
+    if not cache:
+        return convert_fn()
+    cache_dir = src + ".jaxcache"
+    meta_path = os.path.join(cache_dir, "meta.json")
+    key = _cache_key(src)
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                if json.load(f) == key:
+                    return checkpoints.load_params(
+                        os.path.join(cache_dir, "params"))
+        except Exception:
+            pass  # stale/corrupt cache falls through to reconvert
+    params = convert_fn()
+    try:
+        checkpoints.save_params(os.path.join(cache_dir, "params"), params)
+        with open(meta_path, "w") as f:
+            json.dump(key, f)
+    except Exception:
+        pass  # read-only source dir: serve uncached
+    return params
+
+
+def load_policy_params(path: str, cfg: Pi0Config,
+                       cache: bool = True) -> Dict[str, Any]:
     """Load pi0 params from any supported checkpoint format (see module
     docstring). Raises FileNotFoundError / KeyError on bad paths/layouts —
     callers swap params only after a successful load (atomic switch)."""
@@ -38,15 +77,18 @@ def load_policy_params(path: str, cfg: Pi0Config) -> Dict[str, Any]:
     if os.path.isdir(path):
         st = os.path.join(path, "model.safetensors")
         if os.path.exists(st):
-            return convert_pi0(load_state_dict(st), cfg)
+            return _cached_convert(
+                st, lambda: convert_pi0(load_state_dict(st), cfg), cache)
         return checkpoints.load_params(path)
     if path.endswith((".safetensors", ".pt", ".bin")):
-        return convert_pi0(load_state_dict(path), cfg)
+        return _cached_convert(
+            path, lambda: convert_pi0(load_state_dict(path), cfg), cache)
     raise FileNotFoundError(f"unrecognised policy checkpoint: {path!r}")
 
 
 def load_verifier_params(path: str, cfg: VerifierConfig,
-                         backbone_params: Any = None) -> Dict[str, Any]:
+                         backbone_params: Any = None,
+                         cache: bool = True) -> Dict[str, Any]:
     """Load verifier params. Merged .pt files carry heads only — reuse
     `backbone_params` (the currently loaded frozen SigLIP2) in that case."""
     if _is_orbax_dir(path):
@@ -54,7 +96,8 @@ def load_verifier_params(path: str, cfg: VerifierConfig,
     if path.endswith(".pt"):
         from cover_vla_tpu.convert.verifier_from_torch import (
             convert_merged_checkpoint)
-        params = convert_merged_checkpoint(path, cfg)
+        params = _cached_convert(
+            path, lambda: convert_merged_checkpoint(path, cfg), cache)
         if "backbone" not in params:
             if backbone_params is None:
                 raise ValueError(

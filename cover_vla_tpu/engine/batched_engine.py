@@ -81,6 +81,11 @@ class BatchedCoVerEngine:
         self._exec_queue: List[np.ndarray] = []
         self._verif_queue: List[np.ndarray] = []
         self.last_scores = np.zeros((self.E,), np.float32)
+        # per-episode winning instruction at each chunk boundary (the
+        # reference's per-step selected_instructions pickle record,
+        # run_simpler_eval_with_openpi.py:238-247) — analyze.
+        # instruction_switch_stats consumes these
+        self.selected_instructions = [[] for _ in range(self.E)]
         # episodes the caller has marked finished: their engine state
         # (history ring, instruction switches) freezes so lockstep padding
         # ticks cannot diverge from the per-episode reference records
@@ -134,11 +139,19 @@ class BatchedCoVerEngine:
                     self._history, self._history_len)
 
                 def res_thunk():
-                    scores = np.asarray(
-                        self.score_fn(np.asarray(proposal.exec_chunks)),
-                        np.float32)
+                    import inspect
+                    exec_np = np.asarray(proposal.exec_chunks)
+                    # collectors/diagnostic scorers may also want the
+                    # engine-exact trajectories etc. — opt in by declaring
+                    # a `proposal` parameter
+                    sig = inspect.signature(self.score_fn)
+                    if "proposal" in sig.parameters:
+                        scores = self.score_fn(exec_np, proposal=proposal)
+                    else:
+                        scores = self.score_fn(exec_np)
                     return self._select_fn(
-                        scores, proposal.exec_chunks,
+                        np.asarray(scores, np.float32),
+                        proposal.exec_chunks,
                         proposal.verifier_chunks, proposal.raw_grippers)
             else:
                 # async dispatch: res holds device arrays; no host sync yet
@@ -161,7 +174,11 @@ class BatchedCoVerEngine:
                 stage2 = np.asarray(res.used_stage2)
                 self.last_scores = np.asarray(res.max_score)
                 for e in range(self.E):
-                    if stage2[e] and not self.done[e]:
+                    if self.done[e]:
+                        continue
+                    self.selected_instructions[e].append(
+                        prompts_at_dispatch[e][int(groups[e])])
+                    if stage2[e]:
                         self.tasks[e] = prompts_at_dispatch[e][int(groups[e])]
                 self._exec_queue = [exec_chunks[:, i]
                                     for i in range(1, chunk)]
@@ -255,6 +272,8 @@ def evaluate_batched_pipelined(engine_a: BatchedCoVerEngine,
         "success": success.tolist(),
         "success_rate": float(success.mean()),
         "steps": np.concatenate([sa["steps"], sb["steps"]]).tolist(),
+        "selected_instructions": (engine_a.selected_instructions
+                                  + engine_b.selected_instructions),
     }
 
 
@@ -308,4 +327,5 @@ def evaluate_batched(engine: BatchedCoVerEngine, envs: Sequence,
         "success": success.tolist(),
         "success_rate": float(success.mean()),
         "steps": steps.tolist(),
+        "selected_instructions": engine.selected_instructions,
     }

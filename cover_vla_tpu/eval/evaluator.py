@@ -228,6 +228,7 @@ def evaluate_suite_batched(policy_params, verifier_params, pcfg, vcfg, ccfg,
 
         succ: List[bool] = []
         steps: List[int] = []
+        sel_instr: List[List[str]] = []
 
         def run_single(cohort_seeds):
             envs = [env_fn(task) for _ in cohort_seeds]
@@ -250,10 +251,17 @@ def evaluate_suite_batched(policy_params, verifier_params, pcfg, vcfg, ccfg,
                 i += 1
             succ += [bool(s) for s in out["success"]]
             steps += [int(s) for s in out["steps"]]
+            sel_instr += out.get("selected_instructions",
+                                 [[] for _ in out["success"]])
         succ, steps = succ[:len(trials)], steps[:len(trials)]
+        sel_instr = sel_instr[:len(trials)]
         total_control_steps += sum(steps)
+        # selected_instructions at the payload's top level — the same
+        # layout save_episode() pickles, which analyze.load_episodes wraps
+        # under "record" for instruction_switch_stats
         episodes = [{"task": task, "trial": tr, "seed": seeds[tr],
-                     "success": succ[tr], "num_steps": steps[tr]}
+                     "success": succ[tr], "num_steps": steps[tr],
+                     "selected_instructions": sel_instr[tr]}
                     for tr in trials]
         if out_dir:  # analyzer-compatible per-episode records
             os.makedirs(out_dir, exist_ok=True)

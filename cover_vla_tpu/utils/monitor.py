@@ -64,17 +64,30 @@ def setup_logger(name: str = "cover_vla_tpu", log_file: Optional[str] = None,
 
 def log_device_memory(logger: Optional[logging.Logger] = None,
                       tag: str = "") -> dict:
-    """TPU equivalent of log_allocated_gpu_memory: per-device HBM stats."""
+    """TPU equivalent of log_allocated_gpu_memory: per-device HBM stats.
+
+    Backends without memory introspection (e.g. the tunneled axon
+    platform returns an empty memory_stats()) are reported with
+    available=False rather than fabricated zeros — callers must surface
+    'unavailable', never 0.0 (a 3.3B model did not use 0 bytes)."""
     import jax
     out = {}
     for d in jax.local_devices():
         stats = getattr(d, "memory_stats", lambda: None)() or {}
-        used = stats.get("bytes_in_use", 0)
-        limit = stats.get("bytes_limit", 0)
-        out[str(d)] = {"bytes_in_use": used, "bytes_limit": limit}
-        if logger:
+        available = "bytes_in_use" in stats
+        entry = {"available": available}
+        if available:
+            entry["bytes_in_use"] = stats["bytes_in_use"]
+            entry["bytes_limit"] = stats.get("bytes_limit", 0)
+            if "peak_bytes_in_use" in stats:
+                entry["peak_bytes_in_use"] = stats["peak_bytes_in_use"]
+        else:
+            entry["reason"] = "memory_stats() empty on this backend"
+        out[str(d)] = entry
+        if logger and available:
             logger.info("%s %s: %.2f/%.2f GB", tag, d,
-                        used / 2**30, limit / 2**30)
+                        entry["bytes_in_use"] / 2**30,
+                        entry["bytes_limit"] / 2**30)
     return out
 
 

@@ -347,10 +347,37 @@ def cmd_run(args):
         np.prod(x.shape)
         for x in jax.tree_util.tree_leaves(verifier_params)))
 
-    mem = log_device_memory()
-    if mem:
-        first = next(iter(mem.values()))
-        report["hbm_params_gib"] = round(first["bytes_in_use"] / 2**30, 2)
+    mem = next(iter(log_device_memory().values()), {})
+    if mem.get("available"):
+        report["hbm_params_gib"] = round(mem["bytes_in_use"] / 2**30, 2)
+    else:  # never report a fabricated 0.0 for a 3.3B load
+        report["hbm_params_gib"] = None
+        report["hbm_unavailable_reason"] = mem.get(
+            "reason", "no local device memory stats")
+        # analytic footprint from the actual loaded trees (bf16 params +
+        # fp32 norms) so the memory-fit claim has a real number behind it
+        report["hbm_params_analytic_gib"] = round(sum(
+            x.size * x.dtype.itemsize
+            for tree in (policy_params, verifier_params)
+            for x in jax.tree_util.tree_leaves(tree)) / 2**30, 2)
+
+    # --- cached reload (checkpoint-iteration speed, loaders.jaxcache) ----
+    if not args.skip_cache_check:
+        import json as _json
+        from cover_vla_tpu.convert import checkpoints, loaders
+        src = os.path.join(args.dir, "model.safetensors")
+        cache_dir = src + ".jaxcache"
+        t0 = time.time()
+        checkpoints.save_params(os.path.join(cache_dir, "params"),
+                                policy_params)
+        with open(os.path.join(cache_dir, "meta.json"), "w") as f:
+            _json.dump(loaders._cache_key(src), f)
+        report["cache_write_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        cached = loaders.load_policy_params(src, pcfg)   # cache hit
+        jax.block_until_ready(cached)
+        report["cached_reload_s"] = round(time.time() - t0, 1)
+        del cached
 
     # --- one full-size verified_step at N=16 -----------------------------
     rng = np.random.default_rng(0)
@@ -377,12 +404,13 @@ def cmd_run(args):
         report["verified_step_finite"] = bool(
             np.isfinite(np.asarray(out.exec_chunk)).all()
             and np.isfinite(np.asarray(out.scores)).all())
-        mem = log_device_memory()
-        if mem:
-            first = next(iter(mem.values()))
+        mem = next(iter(log_device_memory().values()), {})
+        if mem.get("available"):
             report["hbm_peak_gib"] = round(
-                first.get("peak_bytes_in_use",
-                          first["bytes_in_use"]) / 2**30, 2)
+                mem.get("peak_bytes_in_use",
+                        mem["bytes_in_use"]) / 2**30, 2)
+        else:
+            report["hbm_peak_gib"] = None
 
     with open(os.path.join(args.dir, f"run_{args.tag}.json"), "w") as f:
         json.dump(report, f, indent=1)  # partial write before cross-check
@@ -419,6 +447,97 @@ def cmd_run(args):
 
 
 # ---------------------------------------------------------------------------
+# torch_oracle: full-size fp32 parity vs the REFERENCE implementation
+# ---------------------------------------------------------------------------
+
+
+def cmd_torch_oracle(args):
+    """The BASELINE.md north star at REAL dims: load the generated 3.24B
+    checkpoint into the reference's own PI0FlowMatching
+    (modeling_pi0.py:449-752, lerobot-internal imports stubbed), run one
+    fp32 `sample_actions` with fixed noise on CPU, and compare the action
+    chunk against the JAX CPU path converted from the SAME file. Round 3
+    carried fp32 parity only at tiny dims + one full-width layer pair;
+    this closes it at the full 3.24B geometry."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import dataclasses
+    import jax.numpy as jnp
+    import torch
+    from cover_vla_tpu.configs import Pi0Config
+    from cover_vla_tpu.convert import pi0_from_torch, torch_oracle
+    from cover_vla_tpu.models import pi0 as jpi0
+
+    pcfg = Pi0Config()
+    report = {"stage": "torch_oracle", "platform": "cpu fp32"}
+
+    t0 = time.time()
+    sd = pi0_from_torch.load_state_dict(
+        os.path.join(args.dir, "model.safetensors"))
+    report["read_s"] = round(time.time() - t0, 1)
+
+    # deterministic inputs shared by both sides (the preprocessing layers
+    # are covered by their own parity tests; the oracle pins the MODEL)
+    rng = np.random.default_rng(0)
+    b = 1
+    img = rng.uniform(-1, 1, (b, 3, pcfg.vision.image_size,
+                              pcfg.vision.image_size)).astype(np.float32)
+    state = rng.standard_normal((b, pcfg.max_state_dim)).astype(np.float32)
+    lang = rng.integers(0, 1000, (b, pcfg.tokenizer_max_length)
+                        ).astype(np.int64)
+    lmask = np.zeros((b, pcfg.tokenizer_max_length), bool)
+    lmask[:, :12] = True  # ragged language padding
+    noise = rng.standard_normal(
+        (b, pcfg.chunk_size, pcfg.max_action_dim)).astype(np.float32)
+
+    # --- reference torch fp32 -------------------------------------------
+    t0 = time.time()
+    pwe, mpi0 = torch_oracle.load_reference_pi0_modules(fp32_oracle=True)
+    ref = torch_oracle.build_reference_flow_matching(pcfg, pwe, mpi0)
+    n_loaded = torch_oracle.load_lerobot_sd_into_reference(ref, sd)
+    report["torch_build_load_s"] = round(time.time() - t0, 1)
+    report["torch_tensors_loaded"] = n_loaded
+    report["torch_param_count"] = int(
+        sum(p.numel() for p in ref.parameters()))
+    t0 = time.time()
+    with torch.no_grad():
+        ref_actions = ref.sample_actions(
+            [torch.from_numpy(img)], [torch.ones(b, dtype=torch.bool)],
+            torch.from_numpy(lang), torch.from_numpy(lmask),
+            torch.from_numpy(state),
+            noise=torch.from_numpy(noise.copy())).numpy()
+    report["torch_sample_actions_s"] = round(time.time() - t0, 1)
+    del ref, pwe, mpi0
+
+    # --- JAX CPU fp32 from the same file --------------------------------
+    t0 = time.time()
+    params = pi0_from_torch.convert_pi0(sd, pcfg, dtype=jnp.float32)
+    del sd
+    jax.block_until_ready(params)
+    report["jax_convert_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    jcfg = dataclasses.replace(pcfg, compute_dtype="float32")
+    ours = jpi0.sample_actions(
+        params, jcfg, jax.random.PRNGKey(0),
+        jnp.asarray(img.transpose(0, 2, 3, 1))[:, None],
+        jnp.ones((b, 1), bool), jnp.asarray(lang.astype(np.int32)),
+        jnp.asarray(lmask), jnp.asarray(state),
+        num_candidates=1, noise=jnp.asarray(noise)[:, None])
+    ours = np.asarray(ours[:, 0], np.float32)
+    report["jax_sample_actions_s"] = round(time.time() - t0, 1)
+
+    dev = np.abs(ours - ref_actions)
+    report["action_max_abs_dev"] = float(dev.max())
+    report["action_mean_abs_dev"] = float(dev.mean())
+    report["action_rms"] = float(np.sqrt((ref_actions ** 2).mean()))
+    report["parity_1e4"] = bool(dev.max() <= 1e-4)
+    with open(os.path.join(args.dir, "torch_oracle.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+
+
+# ---------------------------------------------------------------------------
 # compare: deviation stats between two runs' deterministic outputs
 # ---------------------------------------------------------------------------
 
@@ -446,6 +565,10 @@ def cmd_compare(args):
     if os.path.exists(gi):
         with open(gi) as f:
             report["generate"] = json.load(f)
+    to = os.path.join(args.dir, "torch_oracle.json")
+    if os.path.exists(to):
+        with open(to) as f:
+            report["torch_oracle"] = json.load(f)
     if args.report:
         with open(args.report, "w") as f:
             json.dump(report, f, indent=1)
@@ -463,7 +586,12 @@ def main():
     r.add_argument("--tag", required=True)
     r.add_argument("--skip-step", action="store_true",
                    help="skip the N=16 verified_step (CPU cross-check runs)")
+    r.add_argument("--skip-cache-check", action="store_true",
+                   help="skip the convert-cache write/reload measurement")
     r.set_defaults(fn=cmd_run)
+    t = sub.add_parser("torch_oracle")
+    t.add_argument("--dir", default="/tmp/full_ingest")
+    t.set_defaults(fn=cmd_torch_oracle)
     c = sub.add_parser("compare")
     c.add_argument("--dir", default="/tmp/full_ingest")
     c.add_argument("--a", required=True)

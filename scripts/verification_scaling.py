@@ -65,15 +65,28 @@ def experiment_configs():
         chunk_size=4, n_action_steps=4, max_state_dim=32, max_action_dim=32,
         proj_width=64, num_denoise_steps=5, tokenizer_max_length=8)
     vcfg = VerifierConfig(
-        vision=VitConfig(width=64, depth=2, mlp_dim=128, num_heads=4,
-                         patch_size=16, image_size=128, gelu_approx=False),
-        text=SiglipTextConfig(width=32, depth=2, mlp_dim=64, num_heads=4,
+        # patch 8 at 128px -> a 16x16 patch grid: the candidate-ranking
+        # signal is GEOMETRIC (does this delta move the arm toward the
+        # right blob?), and the round-3 16px patches could not localise
+        # the 5-14px blobs well enough for the heads to rank on
+        vision=VitConfig(width=64, depth=3, mlp_dim=128, num_heads=4,
+                         patch_size=8, image_size=128, gelu_approx=False),
+        text=SiglipTextConfig(width=64, depth=2, mlp_dim=128, num_heads=4,
                               vocab_size=512, context_length=16,
                               embed_dim=64),  # == vision.width (TAVE attends
         #                                       text tokens over patches)
-        text_pooling_output_dim=32, vision_pooling_output_dim=32,
+        text_pooling_output_dim=64, vision_pooling_output_dim=64,
         pooling_heads=4, pooling_layers=2, traj_layers=2, traj_heads=4)
     return pcfg, vcfg
+
+
+def _task_rephrases(instruction: str, k: int):
+    """First k rephrases of the instruction from the VENDORED store (the
+    reference's GPT-4V-generated simpler_rephrased_final_eval_vlm.json) —
+    the same language-variation axis the reference's 8-rephrase protocol
+    uses (README.md:136)."""
+    from cover_vla_tpu.eval.rephrase import load_rephrases
+    return load_rephrases().get(instruction, [])[:k]
 
 
 def _save_tree(path, tree):
@@ -156,7 +169,10 @@ def cmd_train_policy(args):
     tok = make_policy_tokenizer(pcfg.paligemma.vocab_size)
     from cover_vla_tpu.eval.benchmark import TASK_INSTRUCTIONS
     instr = TASK_INSTRUCTIONS.get(TASK, TASK.replace("_", " "))
-    lt, lm = tok.encode_batch([instr], pcfg.tokenizer_max_length)
+    variants = [instr] + _task_rephrases(instr, 7) if args.rephrases \
+        else [instr]
+    lt, lm = tok.encode_batch(variants, pcfg.tokenizer_max_length)
+    print(f"policy instruction variants: {len(variants)}")
 
     prep = _policy_preprocess_fn(pcfg)
     warm = min(50, max(1, args.steps // 10))
@@ -171,12 +187,16 @@ def cmd_train_policy(args):
     t0 = time.time()
     for it in range(args.steps):
         idx = rng.integers(0, n, args.batch)
+        # paraphrase augmentation (the reference's rephrase_instruction
+        # task-augment path, src/data/utils/task_augmentation.py:27-80):
+        # each example trains under a random instruction variant
+        v = rng.integers(0, len(variants), args.batch)
         imgs = prep(ds["frames"][idx])[:, None]        # [B,1,H,W,3]
         batch = {
             "images": imgs,
             "img_masks": np.ones((args.batch, 1), bool),
-            "lang_tokens": np.broadcast_to(lt, (args.batch,) + lt.shape[1:]),
-            "lang_masks": np.broadcast_to(lm, (args.batch,) + lm.shape[1:]),
+            "lang_tokens": lt[v],
+            "lang_masks": lm[v],
             "state": ds["state"][idx],
             "actions": ds["actions"][idx],
         }
@@ -195,107 +215,272 @@ def cmd_train_policy(args):
 
 
 def cmd_rankdata(args):
-    """Roll the TRAINED policy on the env; at every chunk boundary sample
-    n_candidates chunks, label each with the true progress a copy of the
-    env makes executing it (fake_expert.chunk_quality), and record
-    (frame, history, candidate trajectories, qualities). This is the
-    verifier's training signal: rank candidates the way the engine will
-    have to at deployment. The executed chunk is a RANDOM candidate, so
-    states stay on the no-verifier policy distribution."""
+    """Roll the TRAINED policy on the env THROUGH THE ENGINE (the batched
+    propose/select programs — the exact sampling, denormalisation and
+    trajectory-assembly code the verifier will face at deployment); at
+    every chunk boundary label every candidate with the true progress a
+    copy of the env makes executing it (fake_expert.chunk_quality) and
+    record (frame, engine trajectories, qualities, privileged positions).
+
+    Execution policy per chunk boundary (state-distribution control):
+      * default: a RANDOM candidate executes (the no-verifier policy
+        distribution),
+      * with prob --oracle-frac: the TRUE-BEST candidate executes — this
+        reaches the late-episode states (grasped-near-target, release)
+        that random selection rarely survives to, which the verifier must
+        rank correctly to beat random at eval time,
+      * with --dagger-params + --dagger-frac: a previously trained
+        verifier's own argmax executes (DAgger-style round 2 — states on
+        the distribution the deployed verifier induces).
+    """
     import jax
-    from cover_vla_tpu.eval import fake_expert
+    from cover_vla_tpu.configs import CoVerConfig
+    from cover_vla_tpu.engine.batched_engine import (
+        BatchedCoVerEngine, evaluate_batched)
     from cover_vla_tpu.eval.fake_env import FakeWidowXEnv
+    from cover_vla_tpu.eval.fake_expert import chunk_quality
     from cover_vla_tpu.eval.adapters import BridgeSimplerAdapter
-    from cover_vla_tpu.models import pi0
-    from cover_vla_tpu.data.tokenizer import make_policy_tokenizer
-    from cover_vla_tpu.eval.benchmark import TASK_INSTRUCTIONS
+    from cover_vla_tpu.data.tokenizer import (
+        make_policy_tokenizer, make_verifier_tokenizer)
 
     pcfg, vcfg = experiment_configs()
     _, stats = _load_demos()
     pp = _load_tree(os.path.join(ART_DIR, "policy_params.pkl"))
-    ptok = make_policy_tokenizer(pcfg.paligemma.vocab_size)
-    instr = TASK_INSTRUCTIONS.get(TASK, TASK.replace("_", " "))
-    lt, lm = ptok.encode_batch([instr], pcfg.tokenizer_max_length)
-    adapter = BridgeSimplerAdapter()
-    prep = _policy_preprocess_fn(pcfg)
+    N, E = args.n_candidates, args.n_parallel
+    ccfg = CoVerConfig(
+        n_samples=N, n_rephrases=1, noise_std=args.noise_std,
+        selection="injected", gripper_vote=False,
+        rescore_threshold=float("inf"),
+        max_history=vcfg.history_length - pcfg.chunk_size)
 
-    a_p01 = stats.action.p01[:6]
-    a_p99 = stats.action.p99[:6]
-    N, chunk = args.n_candidates, pcfg.chunk_size
-    H = vcfg.history_length
-    max_hist = H - chunk
+    dagger_score = None
+    if args.dagger_params:
+        import jax.numpy as jnp
+        from cover_vla_tpu.models import verifier as _verifier
+        from cover_vla_tpu.engine.verified_step import _verifier_image
+        dp = _load_tree(args.dagger_params)
+        vtok = make_verifier_tokenizer(vcfg.text.vocab_size)
+        from cover_vla_tpu.eval.benchmark import TASK_INSTRUCTIONS
+        instr = TASK_INSTRUCTIONS.get(TASK, TASK.replace("_", " "))
+        vt, _ = vtok.encode_batch([instr], vcfg.text.context_length)
+        score_one = jax.jit(lambda img, tr: _verifier.score_actions(
+            dp, vcfg, _verifier_image(img, vcfg.vision.image_size),
+            vt, tr))
 
-    sample = jax.jit(lambda key, img, state: pi0.sample_actions(
-        pp, pcfg, key, img, np.ones((1, 1), bool), lt, lm, state,
-        num_candidates=N, noise_std=args.noise_std))
+        def dagger_score(envs, proposal):
+            return np.stack([
+                np.asarray(score_one(jnp.asarray(envs[e].render(),
+                                                 jnp.uint8),
+                                     proposal.trajectories[e]))
+                for e in range(len(envs))])
 
-    frames, trajs, quals = [], [], []
+    engine = BatchedCoVerEngine(
+        pp, None, pcfg, vcfg, ccfg, num_episodes=E, stats=stats,
+        policy_tokenizer=make_policy_tokenizer(pcfg.paligemma.vocab_size),
+        verifier_tokenizer=make_verifier_tokenizer(vcfg.text.vocab_size),
+        seed=9)
+
+    frames, trajs, quals, positions = [], [], [], []
     rng = np.random.default_rng(123)
+    counters = {"random": 0, "oracle": 0, "dagger": 0}
+
+    def factory(envs):
+        def score_fn(exec_chunks, proposal):
+            live = ~engine.done
+            kn = exec_chunks.shape[1]
+            q = np.zeros((len(envs), kn), np.float32)
+            tr = np.asarray(proposal.trajectories)
+            for e, env in enumerate(envs):
+                if not live[e]:
+                    continue
+                for i in range(kn):
+                    q[e, i] = chunk_quality(env, exec_chunks[e, i])
+                frames.append(env.render())
+                trajs.append(tr[e])
+                quals.append(q[e])
+                positions.append(np.concatenate(
+                    [env._ee, env._obj, env._target,
+                     [float(env._grasped), float(env._gripper)]]
+                ).astype(np.float32))
+            # execution scores: random / oracle-best / verifier (DAgger)
+            u = rng.random()
+            if dagger_score is not None and u < args.dagger_frac:
+                counters["dagger"] += 1
+                return dagger_score(envs, proposal)
+            if u < (args.dagger_frac if dagger_score is not None else 0.0) \
+                    + args.oracle_frac:
+                counters["oracle"] += 1
+                return q
+            counters["random"] += 1
+            return rng.random((len(envs), kn)).astype(np.float32)
+        return score_fn
+
+    engine.score_fn_factory = factory
+    adapter = BridgeSimplerAdapter()
     t0 = time.time()
-    for ep in range(args.episodes):
-        env = FakeWidowXEnv(TASK, max_steps=MAX_ENV_STEPS)
-        obs, _ = env.reset(seed=50_000 + ep)
-        history = np.full((0, 7), 0.0, np.float32)
-        t = 0
-        while t < MAX_ENV_STEPS:
-            frame = obs["image"]
-            proprio = adapter.preprocess_proprio(
-                {"agent": obs["agent"]}).astype(np.float32)
-            img = prep(frame[None])[:, None]
-            state = np.zeros((1, pcfg.max_state_dim), np.float32)
-            state[0, :7] = fake_expert.normalize_proprio(proprio, stats)
-            key = jax.random.PRNGKey(900_000 + 1000 * ep + t)
-            acts = np.asarray(sample(key, img, state)).reshape(
-                N, chunk, pcfg.max_action_dim)[..., :7]
-            body = (acts[..., :6] + 1) / 2 * (a_p99 - a_p01) + a_p01
-            grip = acts[..., 6:]
-            exec_chunks = np.concatenate(
-                [body[..., :3], body[..., 3:6],
-                 2.0 * (grip > 0.5) - 1.0], -1)
-            verif_chunks = np.concatenate(
-                [body, (grip >= 0.5).astype(np.float32)], -1)
-
-            q = np.asarray([fake_expert.chunk_quality(env, exec_chunks[i])
-                            for i in range(N)], np.float32)
-            # assemble the engine's trajectory layout for every candidate
-            n_past = min(len(history), max_hist)
-            base = np.full((H, 7), vcfg.action_padding_value, np.float32)
-            if n_past:
-                base[max_hist - n_past:max_hist] = history[-n_past:]
-            cand_trajs = np.broadcast_to(
-                base, (N, H, 7)).copy()
-            cand_trajs[:, max_hist:] = verif_chunks
-            frames.append(frame)
-            trajs.append(cand_trajs)
-            quals.append(q)
-
-            # execute a RANDOM candidate to stay on-distribution
-            pick = int(rng.integers(0, N))
-            done = trunc = False
-            for s in range(chunk):
-                obs, _, done, trunc, _ = env.step(exec_chunks[pick, s])
-                history = np.concatenate(
-                    [history, verif_chunks[pick, s][None]])
-                t += 1
-                if done or trunc:
-                    break
-            if done or trunc:
-                break
-        if ep % 10 == 0:
-            print(f"  rankdata ep {ep}: {len(frames)} states "
-                  f"({time.time() - t0:.0f}s)")
+    ep_done = 0
+    while ep_done < args.episodes:
+        envs = [FakeWidowXEnv(TASK, max_steps=MAX_ENV_STEPS)
+                for _ in range(E)]
+        seeds = [50_000 + ep_done + j for j in range(E)]
+        evaluate_batched(engine, envs, adapter, max_steps=MAX_ENV_STEPS,
+                         seeds=seeds)
+        ep_done += E
+        if (ep_done // E) % 5 == 1:
+            print(f"  rankdata ep {ep_done}/{args.episodes}: "
+                  f"{len(frames)} states ({time.time() - t0:.0f}s)")
     np.savez_compressed(
         os.path.join(ART_DIR, "rankdata.npz"),
         frames=np.stack(frames), trajs=np.stack(trajs),
-        quals=np.stack(quals))
+        quals=np.stack(quals), positions=np.stack(positions))
     q = np.stack(quals)
-    print(f"rankdata: {len(frames)} states x {N} candidates; quality "
-          f"spread per state p50={np.median(q.max(1) - q.min(1)):.3f}")
+    print(f"rankdata: {len(frames)} states x {N} candidates from "
+          f"{ep_done} episodes (exec mix {counters}); quality spread "
+          f"p50={np.median(q.max(1) - q.min(1)):.3f} "
+          f"({time.time() - t0:.0f}s)")
 
 
 # ---------------------------------------------------------------------------
-# Stage: train_verifier
+# Stage: pretrain_backbone — in-domain localisation pretraining
 # ---------------------------------------------------------------------------
+
+
+def cmd_pretrain_backbone(args):
+    """Pretrain the verifier VISION tower on the collected rankdata frames
+    to regress the privileged scene geometry (ee/obj/target positions +
+    grasp flag) from pixels, through the SAME features the verifier heads
+    consume (the ClearCLIP last-attention-sublayer output).
+
+    This is the synthetic stand-in for the pretrained SigLIP2 ViT-L the
+    reference builds on (finetune_trajectory_bridge_ddp.py:189-191 freezes
+    it): the reference's scorer quality rests on a backbone that already
+    localises objects; a from-scratch 3-layer tower trained only through
+    the ranking loss never learns to, which round 3 measured as a verifier
+    no better than random at engine time. The regression head is discarded
+    — only the tower ships."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from cover_vla_tpu.models import verifier as _verifier
+
+    pcfg, vcfg = experiment_configs()
+    rd = np.load(os.path.join(ART_DIR, "rankdata.npz"))
+    frames, positions = rd["frames"], rd["positions"]
+    n = len(frames)
+    # targets: xy of the three blobs (world units, ~N(0, 0.1)) + grasped
+    targets = np.concatenate([
+        positions[:, 0:2], positions[:, 3:5], positions[:, 6:8],
+        positions[:, 9:10]], axis=1).astype(np.float32) / 0.1
+    print(f"pretrain: {n} frames")
+
+    prep = _verifier_preprocess_fn(vcfg)
+    params0 = _verifier.init_verifier(jax.random.PRNGKey(7), vcfg,
+                                      num_members=1)
+    vision = jax.tree_util.tree_map(
+        lambda x: np.asarray(x, np.float32), params0["backbone"]["vision"])
+    p_dim = vcfg.vision.num_patches * vcfg.vision.width
+    kh = jax.random.PRNGKey(8)
+    head = {
+        "kernel": (jax.random.normal(kh, (p_dim, targets.shape[1]),
+                                     jnp.float32) * (p_dim ** -0.5)),
+        "bias": jnp.zeros((targets.shape[1],), jnp.float32),
+    }
+
+    from cover_vla_tpu.models import siglip
+
+    def loss_fn(tree, images, y):
+        out = siglip.vit_forward(tree["vision"], vcfg.vision, images)
+        feats = out.last_attn_out.astype(jnp.float32)
+        pred = feats.reshape(feats.shape[0], -1) @ tree["head"]["kernel"] \
+            + tree["head"]["bias"]
+        return jnp.mean((pred - y) ** 2)
+
+    warm = min(100, max(1, args.steps // 10))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warm, max(args.steps, warm + 1))
+    tx = optax.adamw(sched, weight_decay=1e-5)
+    tree = {"vision": vision, "head": head}
+    opt_state = tx.init(tree)
+
+    # the whole dataset is staged in device memory ONCE; per step only a
+    # PRNG key crosses the host<->device boundary. Batch indexing AND the
+    # label-adjusted augmentation run on-device — over the axon tunnel a
+    # host-side pipeline is transfer-bound (12+ MB/step), not compute-bound
+    dev_frames = jax.device_put(frames)            # uint8 [n, 256, 256, 3]
+    dev_targets = jax.device_put(targets)
+    n_train_holder = {}
+
+    def aug_one(key, img, y):
+        """Shift/flip a frame with matching position-label adjustment
+        (frame col <-> world x, row <-> y; blobs live within +-60px of
+        center so +-16px rolls never wrap)."""
+        kd, kh, kv = jax.random.split(key, 3)
+        dy, dx = jax.random.randint(kd, (2,), -16, 17)
+        img = jnp.roll(img, (dy, dx), axis=(0, 1))
+        y = y.at[0:6:2].add(dx / 40.0)         # dx / 400 px-per-unit / 0.1
+        y = y.at[1:6:2].add(dy / 40.0)
+        fh = jax.random.bernoulli(kh)
+        fv = jax.random.bernoulli(kv)
+        img = jnp.where(fh, img[:, ::-1], img)
+        y = jnp.where(fh, y.at[0:6:2].multiply(-1.0), y)
+        img = jnp.where(fv, img[::-1], img)
+        y = jnp.where(fv, y.at[1:6:2].multiply(-1.0), y)
+        return img, y
+
+    @jax.jit
+    def step(tree, opt_state, all_frames, all_targets, train_idx, key):
+        kb, ka = jax.random.split(key)
+        idx = jnp.take(
+            train_idx,
+            jax.random.randint(kb, (args.batch,), 0,
+                               n_train_holder["n"]), axis=0)
+        f_b = jnp.take(all_frames, idx, axis=0)
+        y_b = jnp.take(all_targets, idx, axis=0)
+        f_b, y_b = jax.vmap(aug_one)(jax.random.split(ka, args.batch),
+                                     f_b, y_b)
+        images = prep_raw(f_b)
+        loss, grads = jax.value_and_grad(loss_fn)(tree, images, y_b)
+        updates, opt_state = tx.update(grads, opt_state, tree)
+        return optax.apply_updates(tree, updates), opt_state, loss
+
+    # unjitted body of _verifier_preprocess_fn (it jits itself; inline here)
+    from cover_vla_tpu.ops.image import resize_bicubic_pil
+
+    def prep_raw(raw):
+        x = resize_bicubic_pil(raw.astype(jnp.float32),
+                               vcfg.vision.image_size,
+                               vcfg.vision.image_size)
+        return ((x / 255.0) - 0.5) / 0.5
+
+    rng = np.random.default_rng(3)
+    val = rng.permutation(n)[:min(256, max(1, n // 5))]
+    train = np.setdiff1d(np.arange(n), val)
+    n_train_holder["n"] = len(train)
+    train_idx = jax.device_put(train)
+    val_imgs = np.asarray(prep(frames[val]))
+    val_y = targets[val]
+    val_loss_fn = jax.jit(loss_fn)
+
+    t0 = time.time()
+    key = jax.random.PRNGKey(11)
+    for it in range(args.steps):
+        key, sub = jax.random.split(key)
+        tree, opt_state, loss = step(tree, opt_state, dev_frames,
+                                     dev_targets, train_idx, sub)
+        if it % 200 == 0 or it == args.steps - 1:
+            vl = float(val_loss_fn(tree, val_imgs, val_y))
+            print(f"  pretrain step {it}: loss={float(loss):.4f} "
+                  f"val={vl:.4f} ({time.time() - t0:.0f}s)")
+    _save_tree(os.path.join(ART_DIR, "pretrained_vision.pkl"),
+               tree["vision"])
+    # report localisation quality in world units for the record
+    out = siglip.vit_forward(tree["vision"], vcfg.vision, val_imgs)
+    feats = np.asarray(out.last_attn_out, np.float32)
+    pred = feats.reshape(len(val), -1) @ np.asarray(tree["head"]["kernel"]) \
+        + np.asarray(tree["head"]["bias"])
+    err = np.abs(pred[:, :6] - val_y[:, :6]) * 0.1
+    print(f"saved pretrained_vision.pkl (val mean abs localisation error "
+          f"{err.mean():.4f} world units; blob spacing ~0.1)")
 
 
 def _verifier_preprocess_fn(vcfg):
@@ -334,29 +519,52 @@ def cmd_train_verifier(args):
 
     tok = make_verifier_tokenizer(vcfg.text.vocab_size)
     instr = TASK_INSTRUCTIONS.get(TASK, TASK.replace("_", " "))
-    vt, _ = tok.encode_batch([instr], vcfg.text.context_length)
+    variants = [instr] + _task_rephrases(instr, 7) if args.rephrases \
+        else [instr]
+    vt_all, _ = tok.encode_batch(variants, vcfg.text.context_length)
+    vt = vt_all[:1]                       # original instruction (row 0)
+    print(f"  verifier instruction variants: {len(variants)}")
 
     prep = _verifier_preprocess_fn(vcfg)
+    # LR schedule injected from the host per step: baking the schedule
+    # constants into the jitted step would force a full (~10 min remote)
+    # recompile for every --steps/--lr sweep; with inject_hyperparams the
+    # compiled program is schedule-agnostic and the persistent compile
+    # cache survives hyperparameter changes
     warm = min(50, max(1, args.steps // 10))
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, warm, max(args.steps, warm + 1))
-    tx = optax.adamw(sched, weight_decay=1e-5)
-    # backbone UNFROZEN: there are no pretrained SigLIP2 weights in this
-    # synthetic domain, and a frozen random tower collapses all frames to
-    # near-identical features. The objective is the LISTWISE ranking loss
-    # over the policy's own sampled candidate slates labeled by
-    # privileged env progress — the decision the engine makes at every
-    # control step. (Pairwise pos-vs-worst mining taught a shortcut:
-    # the mined negatives were dominated by early gripper releases, so
-    # the verifier suppressed opening anywhere and never released.)
+    tx = optax.inject_hyperparams(optax.adamw)(
+        learning_rate=0.0, weight_decay=1e-5)
+    import jax.numpy as jnp
     state = train_verifier.init_full_train_state(
         jax.random.PRNGKey(2), vcfg, tx, num_members=args.members)
+    # fp32 backbone: the default bf16 init is a weight-precision handicap
+    # when the tower trains from scratch instead of shipping pretrained
+    params = dict(state.params)
+    params["backbone"] = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params["backbone"])
+    # in-domain pretrained vision tower (stage pretrain_backbone) — the
+    # synthetic SigLIP2 stand-in; reference semantics then FREEZE it
+    pv_path = os.path.join(ART_DIR, "pretrained_vision.pkl")
+    pretrained = args.pretrained and os.path.exists(pv_path)
+    if pretrained:
+        params["backbone"] = dict(params["backbone"])
+        params["backbone"]["vision"] = _load_tree(pv_path)
+        print(f"  loaded pretrained vision tower ({pv_path})")
+    freeze = {"auto": pretrained, "true": True,
+              "false": False}[args.freeze_backbone]
+    print(f"  freeze_backbone={freeze} (pretrained={pretrained})")
+    state = train_verifier.FullVerifierTrainState(
+        params, tx.init(params), state.step)
     if args.objective == "listwise":
-        step_fn = train_verifier.make_listwise_train_step(vcfg, tx,
-                                                          tau=args.tau)
+        step_fn = train_verifier.make_listwise_train_step(
+            vcfg, tx, tau=args.tau, train_backbone=not freeze)
     else:  # dense oracle distillation — the default; see train_verifier
-        step_fn = train_verifier.make_regression_train_step(vcfg, tx,
-                                                            q_scale=1.0)
+        step_fn = train_verifier.make_regression_train_step(
+            vcfg, tx, q_scale=1.0, train_backbone=not freeze)
 
     # stratified batches: half from high-stakes states (a candidate flips
     # the episode outcome — grasp/release transitions, spread > 5) so the
@@ -376,55 +584,84 @@ def cmd_train_verifier(args):
     import jax as _jax
     from cover_vla_tpu.models import verifier as _verifier
 
-    # one compiled scoring program reused by every validation checkpoint
-    # (a fresh jit(lambda) per call would retrace every 200 steps)
-    score_fn = _jax.jit(lambda p, img, tt, tr: _verifier.score_actions(
-        p, vcfg, img, tt, tr))
+    # one compiled BATCHED scoring program reused by every validation
+    # checkpoint: all held-out states in a single dispatch (the per-state
+    # loop was 256 dispatches — untenable over the TPU tunnel)
+    v_idx = val[:256]
+    val_imgs = np.asarray(prep(frames[v_idx]))
+    val_trajs = trajs[v_idx]
+    val_quals = quals[v_idx]
+
+    @_jax.jit
+    def _val_scores(params):
+        return _jax.vmap(
+            lambda img, tr: _verifier.score_actions(
+                params, vcfg, img[None], vt, tr))(val_imgs, val_trajs)
 
     def val_regret(params):
         """Selection regret on held-out states, scored EXACTLY as the
         engine scores (verifier.score_actions: member embeddings fused by
         mean + renorm, then one dot) — a score-averaging proxy ranked
         checkpoints that inverted at engine time."""
-        regs, accs = [], []
-        for i in val[:128]:
-            img = prep(frames[i][None].astype(np.float32))
-            sc = np.asarray(score_fn(params, img, vt, trajs[i]))
-            pick = int(sc.argmax())
-            q = quals[i]
-            regs.append(q.max() - q[pick])
-            accs.append(pick == int(q.argmax()))
-        return float(np.mean(regs)), float(np.mean(accs))
+        sc = np.asarray(_val_scores(params))            # [V, N]
+        picks = sc.argmax(1)
+        best = val_quals.argmax(1)
+        picked_q = np.take_along_axis(val_quals, picks[:, None], 1)[:, 0]
+        regret = float(np.mean(val_quals.max(1) - picked_q))
+        return regret, float(np.mean(picks == best))
 
-    best = (1e9, None)
-    t0 = time.time()
-    for it in range(args.steps):
-        if len(hi) and len(lo):
-            idx = np.concatenate([
-                hi[rng.integers(0, len(hi), args.batch // 2)],
-                lo[rng.integers(0, len(lo), args.batch - args.batch // 2)]])
-        else:
-            idx = train[rng.integers(0, len(train), args.batch)]
-        f_b = frames[idx].copy()
-        t_b = trajs[idx].copy()
+    # the dataset is staged in device memory ONCE; batch selection,
+    # augmentation, per-slate standardization and preprocessing all run in
+    # one jitted assemble program (only a PRNG key crosses the tunnel)
+    from cover_vla_tpu.ops.image import resize_bicubic_pil
+
+    dev_frames = _jax.device_put(frames)          # uint8 [n, 256, 256, 3]
+    dev_trajs = _jax.device_put(trajs.astype(np.float32))
+    dev_quals = _jax.device_put(quals.astype(np.float32))
+    stratified = bool(len(hi)) and bool(len(lo))
+    dev_hi = _jax.device_put(hi if stratified else train)
+    dev_lo = _jax.device_put(lo if stratified else train)
+    n_hi, n_lo = (len(hi), len(lo)) if stratified else (len(train),
+                                                        len(train))
+    pad_val = vcfg.action_padding_value
+
+    def aug_one(key, img, tr):
+        """Label-preserving augmentation: chunk quality depends only on
+        the RELATIVE blob geometry (the verifier never sees proprio), so
+        whole-frame shifts keep labels, and axis flips keep them if the
+        trajectory's matching delta axis is negated too (image column <->
+        world x, row <-> world y; fake_env._frame). Padding rows (-5.0)
+        must stay padding through the sign flips."""
+        kd, kh, kv = jax.random.split(key, 3)
+        dy, dx = jax.random.randint(kd, (2,), -24, 25)
+        img = jnp.roll(img, (dy, dx), axis=(0, 1))
+        pad = jnp.all(tr == pad_val, axis=-1, keepdims=True)  # [N, H, 1]
+        fh = jax.random.bernoulli(kh)
+        fv = jax.random.bernoulli(kv)
+        img = jnp.where(fh, img[:, ::-1], img)
+        img = jnp.where(fv, img[::-1], img)
+        sign = jnp.ones((7,)).at[0].set(jnp.where(fh, -1.0, 1.0)
+                                        ).at[1].set(jnp.where(fv, -1.0, 1.0))
+        tr = jnp.where(pad, tr, tr * sign)
+        return img, tr
+
+    vt_dev = _jax.device_put(vt_all)      # [R, Tv] instruction variants
+
+    @_jax.jit
+    def assemble(all_frames, all_trajs, all_quals, hi_idx, lo_idx, key):
+        kb1, kb2, ka, kt = jax.random.split(key, 4)
+        # stratified batch: half high-stakes, half routine
+        b1 = args.batch // 2
+        idx = jnp.concatenate([
+            jnp.take(hi_idx, jax.random.randint(kb1, (b1,), 0, n_hi)),
+            jnp.take(lo_idx, jax.random.randint(kb2, (args.batch - b1,),
+                                                0, n_lo))])
+        f_b = jnp.take(all_frames, idx, axis=0)
+        t_b = jnp.take(all_trajs, idx, axis=0)
+        q = jnp.take(all_quals, idx, axis=0)
         if args.augment:
-            # label-preserving augmentation: chunk quality depends only on
-            # the RELATIVE blob geometry (the verifier never sees proprio),
-            # so whole-frame shifts keep labels, and axis flips keep them
-            # if the trajectory's matching delta axis is negated too
-            # (image column <-> world x, row <-> world y; fake_env._frame)
-            pad_rows = np.all(t_b == -5.0, axis=-1)     # [B, K*N? no: B,N,H]
-            for b in range(len(f_b)):
-                dy, dx = rng.integers(-24, 25, 2)
-                f_b[b] = np.roll(f_b[b], (dy, dx), axis=(0, 1))
-                if rng.random() < 0.5:                  # horizontal flip
-                    f_b[b] = f_b[b][:, ::-1]
-                    t_b[b, ..., 0] *= -1.0
-                if rng.random() < 0.5:                  # vertical flip
-                    f_b[b] = f_b[b][::-1]
-                    t_b[b, ..., 1] *= -1.0
-            t_b[pad_rows] = -5.0                        # restore padding
-        q = quals[idx]
+            f_b, t_b = jax.vmap(aug_one)(
+                jax.random.split(ka, args.batch), f_b, t_b)
         if args.objective == "regression":
             # per-slate standardization: between-state quality variance
             # would otherwise dominate the MSE (the net can score well by
@@ -433,12 +670,31 @@ def cmd_train_verifier(args):
             # engine's argmax
             q = (q - q.mean(1, keepdims=True)) / (q.std(1, keepdims=True)
                                                   + 0.1)
-        batch = {
-            "images": prep(f_b),
-            "text_tokens": np.broadcast_to(vt, (len(idx),) + vt.shape[1:]),
+        x = resize_bicubic_pil(f_b.astype(jnp.float32),
+                               vcfg.vision.image_size,
+                               vcfg.vision.image_size)
+        # each example trains under a random instruction variant so the
+        # score is invariant to the rephrase axis (row-0 scoring switches
+        # instruction mid-episode at engine time)
+        r = jax.random.randint(kt, (args.batch,), 0, vt_dev.shape[0])
+        return {
+            "images": ((x / 255.0) - 0.5) / 0.5,
+            "text_tokens": jnp.take(vt_dev, r, axis=0),
             "cand_trajs": t_b,
             "qualities": q,
         }
+
+    best = (1e9, None)
+    t0 = time.time()
+    key = _jax.random.PRNGKey(17)
+    # whole LR schedule precomputed in one dispatch (a per-step sched()
+    # call would cost a 35 ms tunnel round trip each)
+    lrs = np.asarray(_jax.jit(_jax.vmap(sched))(np.arange(args.steps)))
+    for it in range(args.steps):
+        state.opt_state.hyperparams["learning_rate"] = np.float32(lrs[it])
+        key, sub = _jax.random.split(key)
+        batch = assemble(dev_frames, dev_trajs, dev_quals, dev_hi, dev_lo,
+                         sub)
         state, metrics = step_fn(state, batch)
         if it % 200 == 0 or it == args.steps - 1:
             vr, va = val_regret(state.params)
@@ -491,11 +747,12 @@ def oracle_score_factory(envs):
 
 def run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
              mode: str, n_samples: int, trials: int, n_parallel: int,
-             seed: int, out_dir=None):
+             seed: int, out_dir=None, n_rephrases: int = 1):
     from cover_vla_tpu.configs import CoVerConfig
     from cover_vla_tpu.eval.evaluator import (
         EvalConfig, evaluate_suite_batched)
     from cover_vla_tpu.eval.fake_env import make_fake_env
+    from cover_vla_tpu.eval.rephrase import load_rephrases
     from cover_vla_tpu.data.tokenizer import (
         make_policy_tokenizer, make_verifier_tokenizer)
 
@@ -509,14 +766,14 @@ def run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
         # the cosine scale it was tuned for) and no gripper vote (the
         # oracle's gripper choice IS the evaluated quantity)
         ccfg = CoVerConfig(
-            n_samples=n_samples, n_rephrases=1, noise_std=1.0,
+            n_samples=n_samples, n_rephrases=n_rephrases, noise_std=1.0,
             selection="injected", gripper_vote=False,
             rescore_threshold=float("inf"),
             max_history=vcfg.history_length - pcfg.chunk_size)
         score_fn_factory = oracle_score_factory
     else:
         ccfg = CoVerConfig(
-            n_samples=n_samples, n_rephrases=1, noise_std=1.0,
+            n_samples=n_samples, n_rephrases=n_rephrases, noise_std=1.0,
             selection=mode, gripper_vote=(mode == "verifier"),
             max_history=vcfg.history_length - pcfg.chunk_size)
         score_fn_factory = None
@@ -527,6 +784,7 @@ def run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
         n_parallel=n_parallel,
         env_fn=lambda t: make_fake_env(t, max_steps=MAX_ENV_STEPS),
         stats=stats, seed=seed,
+        rephrases=load_rephrases() if n_rephrases > 1 else None,
         policy_tokenizer=make_policy_tokenizer(pcfg.paligemma.vocab_size),
         verifier_tokenizer=make_verifier_tokenizer(vcfg.text.vocab_size),
         out_dir=out_dir, score_fn_factory=score_fn_factory)
@@ -534,16 +792,22 @@ def run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
     succ = [e["success"] for e in task_stats["per_episode"]]
     k, n = int(np.sum(succ)), len(succ)
     lo, hi = wilson_ci(k, n)
-    return {"mode": mode, "n_samples": n_samples, "successes": k,
+    return {"mode": mode, "n_samples": n_samples,
+            "n_rephrases": n_rephrases, "successes": k,
             "episodes": n, "success_rate": k / n,
             "ci95": [round(lo, 4), round(hi, 4)],
             "mean_steps": task_stats["mean_steps"],
             "actions_per_sec": round(out["actions_per_sec"], 1)}
 
 
-GRID = [("first", 1), ("random", 5), ("random", 16), ("random", 40),
-        ("verifier", 1), ("verifier", 5), ("verifier", 16),
-        ("verifier", 40)]
+# (mode, N samples per rephrase, K rephrases). The K=8 cells mirror the
+# reference's 8-rephrase x 5-sample protocol (README.md:136): language
+# variation as a second scaling axis through stage-2 group-mean selection.
+GRID = [("first", 1, 1), ("random", 5, 1), ("random", 16, 1),
+        ("random", 40, 1),
+        ("verifier", 1, 1), ("verifier", 5, 1), ("verifier", 16, 1),
+        ("verifier", 40, 1),
+        ("random", 5, 8), ("verifier", 5, 8)]
 
 
 def cmd_eval(args):
@@ -558,19 +822,20 @@ def cmd_eval(args):
         with open(os.path.join(ART_DIR, "results.json")) as f:
             cells = [c for c in json.load(f)["grid"]
                      if args.modes and c["mode"] not in args.modes]
-    for mode, n_samples in GRID:
+    for mode, n_samples, n_reph in GRID:
         if args.modes and mode not in args.modes:
             continue
         t0 = time.time()
+        suffix = f"_K{n_reph}" if n_reph > 1 else ""
         out_dir = os.path.join(ART_DIR, "episodes",
-                               f"{mode}_N{n_samples}")
+                               f"{mode}_N{n_samples}{suffix}")
         cell = run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
                         mode, n_samples, trials=args.trials,
                         n_parallel=args.n_parallel, seed=7,
-                        out_dir=out_dir)
+                        out_dir=out_dir, n_rephrases=n_reph)
         cell["wall_s"] = round(time.time() - t0, 1)
         cells.append(cell)
-        print(f"  {mode:9s} N={n_samples:3d}: "
+        print(f"  {mode:9s} N={n_samples:3d} K={n_reph}: "
               f"{cell['success_rate']:.2f} "
               f"[{cell['ci95'][0]:.2f},{cell['ci95'][1]:.2f}] "
               f"({cell['episodes']} eps, {cell['wall_s']}s)")
@@ -603,9 +868,23 @@ def cmd_eval(args):
                   f"[{cell['ci95'][0]:.2f},{cell['ci95'][1]:.2f}] "
                   f"({cell['episodes']} eps, {cell['wall_s']}s)")
 
+    # instruction-switch stats for the rephrase-axis cell (the analyzer's
+    # view of stage-2 language selection live through the engine)
+    switch = None
+    k8_dir = os.path.join(ART_DIR, "episodes", "verifier_N5_K8")
+    if ((not args.modes or "verifier" in args.modes)
+            and os.path.isdir(k8_dir)):
+        from cover_vla_tpu.eval import analyze
+        switch = analyze.instruction_switch_stats(
+            analyze.load_episodes(k8_dir))
+        print(f"  K=8 instruction switches: {switch['episodes_with_switch']}"
+              f"/{switch['episodes']} episodes "
+              f"({100 * switch['switch_rate']:.0f}%)")
+
     with open(os.path.join(ART_DIR, "results.json"), "w") as f:
         json.dump({"grid": cells, "task": TASK,
-                   "trials_per_cell": args.trials}, f, indent=1)
+                   "trials_per_cell": args.trials,
+                   "instruction_switch_K8": switch}, f, indent=1)
     print("saved results.json (analyzer cross-check ok)")
 
 
@@ -617,8 +896,10 @@ def cmd_eval(args):
 def cmd_report(args):
     with open(os.path.join(ART_DIR, "results.json")) as f:
         res = json.load(f)
-    cells = {(c["mode"], c["n_samples"]): c for c in res["grid"]}
-    ns = sorted({c["n_samples"] for c in res["grid"] if c["mode"] != "first"})
+    cells = {(c["mode"], c["n_samples"], c.get("n_rephrases", 1)): c
+             for c in res["grid"]}
+    ns = sorted({c["n_samples"] for c in res["grid"]
+                 if c["mode"] != "first" and c.get("n_rephrases", 1) == 1})
 
     def fmt(c):
         if c is None:
@@ -650,27 +931,43 @@ def cmd_report(args):
         "|---|" + "---|" * len(ns),
     ]
     for mode in ("first", "random", "verifier", "oracle"):
-        row = [fmt(cells.get((mode, n)) or
-                   (cells.get((mode, 1)) if mode == "first" else None))
+        row = [fmt(cells.get((mode, n, 1)) or
+                   (cells.get((mode, 1, 1)) if mode == "first" else None))
                for n in ns]
         lines.append(f"| {mode} | " + " | ".join(row) + " |")
-    f1 = cells.get(("first", 1))
+    f1 = cells.get(("first", 1, 1))
     if f1:
         lines += ["", f"pi0 baseline (N=1): {fmt(f1)}."]
-    v16, r16 = cells.get(("verifier", 16)), cells.get(("random", 16))
+    v16, r16 = cells.get(("verifier", 16, 1)), cells.get(("random", 16, 1))
     if v16 and r16:
         lines += ["",
                   f"At N=16 the verifier arm reaches "
                   f"{100 * v16['success_rate']:.0f}% vs "
                   f"{100 * r16['success_rate']:.0f}% for random selection "
                   f"({v16['successes']}/{v16['episodes']} vs "
-                  f"{r16['successes']}/{r16['episodes']}).",
-                  "",
-                  "Reproduce: `JAX_PLATFORMS=cpu python "
-                  "scripts/verification_scaling.py all` "
-                  "(stages: demos, train_policy, train_verifier, eval, "
-                  "report). CI regression: "
-                  "`tests/test_verification_scaling.py`."]
+                  f"{r16['successes']}/{r16['episodes']})."]
+    # rephrase axis (the reference's 8-rephrase x 5-sample protocol)
+    k8 = [(m, cells.get((m, 5, 8))) for m in ("random", "verifier")]
+    if any(c for _, c in k8):
+        lines += ["", "## Rephrase axis (K=8 x N=5, the reference's "
+                      "protocol shape)", "",
+                  "| selection | N=5, K=1 | N=5 x K=8 |", "|---|---|---|"]
+        for m, c in k8:
+            lines.append(f"| {m} | {fmt(cells.get((m, 5, 1)))} | {fmt(c)} |")
+        sw = res.get("instruction_switch_K8")
+        if sw:
+            lines += ["",
+                      f"Stage-2 language selection switched the "
+                      f"instruction in {sw['episodes_with_switch']}/"
+                      f"{sw['episodes']} episodes "
+                      f"({100 * sw['switch_rate']:.0f}%); per-instruction "
+                      "win counts in results.json."]
+    lines += ["",
+              "Reproduce: `python scripts/verification_scaling.py all` "
+              "(stages: demos, train_policy, rankdata, pretrain_backbone, "
+              "train_verifier, eval, report; --platform tpu accelerates "
+              "the data/training stages). CI regression: "
+              "`tests/test_verification_scaling.py`."]
     md = "\n".join(lines) + "\n"
     path = os.path.join(REPO, "docs", "verification_scaling.md")
     with open(path, "w") as f:
@@ -679,20 +976,35 @@ def cmd_report(args):
     print(f"wrote {path}")
 
 
-def _force_cpu():
-    """CPU-only experiment. jax is PRE-imported by sitecustomize with
+def _force_platform(platform: str):
+    """Default: CPU. jax is PRE-imported by sitecustomize with
     JAX_PLATFORMS=axon (remote TPU tunnel); the env var alone does not
     stick — BOTH the assignment and config.update are required
     (CLAUDE.md), otherwise every engine dispatch silently rides the
-    exclusive tunnel and concurrent runs deadlock it."""
-    os.environ["JAX_PLATFORMS"] = "cpu"
+    exclusive tunnel and concurrent runs deadlock it. --platform tpu
+    keeps the axon default (the tiny models are dispatch-bound there:
+    ~35 ms/dispatch — worth it only for the big data-collection and
+    training stages; NEVER run two JAX processes at once)."""
+    if platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache (same layout bench.py/tests use): stage
+    # re-runs and parameter sweeps skip recompilation
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/jax_comp_cache_cpu"
+                           if platform == "cpu"
+                           else "~/.cache/jax_comp_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def main():
-    _force_cpu()
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     d = sub.add_parser("demos")
@@ -704,13 +1016,32 @@ def main():
     p.add_argument("--steps", type=int, default=1500)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--rephrases", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="paraphrase-augment instructions from the vendored "
+                        "rephrase store (reference task_augmentation)")
     p.set_defaults(fn=cmd_train_policy)
 
     rk = sub.add_parser("rankdata")
-    rk.add_argument("--episodes", type=int, default=60)
+    rk.add_argument("--episodes", type=int, default=1500)
     rk.add_argument("--n-candidates", type=int, default=16)
+    rk.add_argument("--n-parallel", type=int, default=25)
     rk.add_argument("--noise-std", type=float, default=1.0)
+    rk.add_argument("--oracle-frac", type=float, default=0.3,
+                    help="prob a boundary executes the TRUE-BEST candidate "
+                         "(reaches late-episode states random selection "
+                         "rarely survives to)")
+    rk.add_argument("--dagger-params", default="",
+                    help="verifier params pkl; its argmax drives execution "
+                         "with prob --dagger-frac (DAgger round 2)")
+    rk.add_argument("--dagger-frac", type=float, default=0.5)
     rk.set_defaults(fn=cmd_rankdata)
+
+    pb = sub.add_parser("pretrain_backbone")
+    pb.add_argument("--steps", type=int, default=3000)
+    pb.add_argument("--batch", type=int, default=64)
+    pb.add_argument("--lr", type=float, default=1e-3)
+    pb.set_defaults(fn=cmd_pretrain_backbone)
 
     v = sub.add_parser("train_verifier")
     v.add_argument("--steps", type=int, default=4000)
@@ -723,6 +1054,18 @@ def main():
     v.add_argument("--min-spread", type=float, default=0.02)
     v.add_argument("--augment", action=argparse.BooleanOptionalAction,
                    default=True)
+    v.add_argument("--rephrases", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="train under random instruction variants from the "
+                        "vendored rephrase store")
+    v.add_argument("--pretrained", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="init the vision tower from pretrained_vision.pkl "
+                        "when present")
+    v.add_argument("--freeze-backbone", default="auto",
+                   choices=["auto", "true", "false"],
+                   help="auto = freeze iff the pretrained tower loaded "
+                        "(reference semantics: pretrained backbone frozen)")
     v.set_defaults(fn=cmd_train_verifier)
 
     e = sub.add_parser("eval")
@@ -742,6 +1085,7 @@ def main():
     a = sub.add_parser("all")
     a.set_defaults(fn=None)
     args = ap.parse_args()
+    _force_platform(args.platform)
 
     if args.cmd == "all":
         # re-parse each stage's own subcommand so every argparse default
@@ -750,6 +1094,7 @@ def main():
         for argv in (["demos"],
                      ["train_policy"],
                      ["rankdata"],
+                     ["pretrain_backbone"],
                      ["train_verifier"],
                      ["eval"],
                      ["report"]):

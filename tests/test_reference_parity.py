@@ -183,89 +183,13 @@ def test_fused_forward_matches_reference(reference_setup):
 _REF_DIR = "/root/reference/lerobot_custom/lerobot/common/policies/pi0/"
 
 
-class _F32TorchProxy(types.ModuleType):
-    """torch proxy whose `bfloat16` is float32.
-
-    The reference model is intrinsically bf16: the constructor calls
-    to_bfloat16_like_physical_intelligence unconditionally and the forward
-    hard-casts hidden states to bf16 (modeling_pi0.py:534,579;
-    paligemma_with_expert.py:273,317). A genuine fp32 run of the unmodified
-    code is impossible (fp32 Linear on bf16 input raises). Swapping the
-    module-level `torch` binding neutralises exactly those casts, giving a
-    pure-fp32 oracle of the same computation graph.
-    """
-
-    def __init__(self):
-        super().__init__("torch_f32_proxy")
-
-    def __getattr__(self, name):
-        if name == "bfloat16":
-            return torch.float32
-        return getattr(torch, name)
-
-
-def _stub_module(name, **attrs):
-    mod = sys.modules.get(name) or types.ModuleType(name)
-    for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules[name] = mod
-    return mod
-
-
 def _load_reference_pi0(fp32_oracle: bool):
-    """Load the reference modeling_pi0 + paligemma_with_expert modules with
-    their lerobot-internal imports stubbed (no lerobot install needed)."""
-    from torch import nn
-
-    for name in ("lerobot", "lerobot.common", "lerobot.common.policies",
-                 "lerobot.common.policies.pi0", "lerobot.common.utils"):
-        _stub_module(name)
-    _stub_module("lerobot.common.constants", ACTION="action",
-                 OBS_ROBOT="observation.state")
-
-    class _Norm(nn.Module):
-        def __init__(self, *a, **k):
-            super().__init__()
-
-    _stub_module("lerobot.common.policies.normalize",
-                 Normalize=_Norm, Unnormalize=_Norm)
-
-    class _PTP(nn.Module):
-        pass
-
-    _stub_module("lerobot.common.policies.pretrained", PreTrainedPolicy=_PTP)
-    _stub_module("lerobot.common.utils.utils",
-                 get_safe_dtype=lambda dt, dev: dt)
-    _stub_module("lerobot.common.policies.pi0.flex_attention",
-                 flex_attention_forward=None)
-
-    class _PI0Cfg:
-        pass
-
-    _stub_module("lerobot.common.policies.pi0.configuration_pi0",
-                 PI0Config=_PI0Cfg)
-
-    spec = importlib.util.spec_from_file_location(
-        "lerobot.common.policies.pi0.paligemma_with_expert",
-        _REF_DIR + "paligemma_with_expert.py")
-    pwe = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(pwe)
-    sys.modules["lerobot.common.policies.pi0.paligemma_with_expert"] = pwe
-
-    tag = "fp32" if fp32_oracle else "bf16"
-    spec = importlib.util.spec_from_file_location(
-        f"ref_modeling_pi0_{tag}", _REF_DIR + "modeling_pi0.py")
-    mpi0 = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mpi0)
-
-    if fp32_oracle:
-        proxy = _F32TorchProxy()
-        pwe.torch = proxy
-        mpi0.torch = proxy
-        # fresh class per load, so this does not leak into other fixtures
-        pwe.PaliGemmaWithExpertModel.to_bfloat16_like_physical_intelligence \
-            = lambda self: None
-    return pwe, mpi0
+    """Shared loader (convert/torch_oracle.py): the reference modules with
+    lerobot-internal imports stubbed; fp32_oracle neutralises the
+    intrinsic bf16 casts. Also used by scripts/full_size_ingest.py's
+    full-3.24B torch_oracle stage."""
+    from cover_vla_tpu.convert import torch_oracle
+    return torch_oracle.load_reference_pi0_modules(fp32_oracle)
 
 
 _TINY = dict(width=64, ewidth=32, depth=2, heads=4, kv=1, hd=16, chunk=3)
