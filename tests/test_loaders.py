@@ -1,0 +1,89 @@
+"""Path-dispatching checkpoint loaders + the convert-once `.jaxcache`
+(`convert/loaders.py` — the serving `switch_model` ingestion path and the
+full-size checkpoint-iteration speed fix: torch->JAX restructuring runs
+once per source file, keyed on mtime+size; reloads are orbax restores).
+
+Reference semantics: base_evaluator.py:119-126 (per-checkpoint
+iteration), policy_wrapper.py:91-113 (format sniffing on load)."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from cover_vla_tpu.configs import tiny_pi0_config, tiny_verifier_config
+from cover_vla_tpu.convert import checkpoints, loaders
+from cover_vla_tpu.models import pi0, verifier
+
+
+def _leaf(params):
+    return np.asarray(jax.tree_util.tree_leaves(params)[0])
+
+
+def test_cached_convert_roundtrip_and_invalidation(tmp_path):
+    """First load converts and writes `<src>.jaxcache/`; the second load
+    restores from it WITHOUT calling the converter; mutating the source
+    file (mtime/size key) forces a reconvert."""
+    src = str(tmp_path / "model.safetensors")
+    with open(src, "w") as f:
+        f.write("v1")
+    calls = []
+
+    def convert_fn():
+        calls.append(1)
+        return {"w": np.full((3,), float(len(calls)), np.float32)}
+
+    out1 = loaders._cached_convert(src, convert_fn, cache=True)
+    assert len(calls) == 1 and os.path.isdir(src + ".jaxcache")
+
+    out2 = loaders._cached_convert(src, convert_fn, cache=True)
+    assert len(calls) == 1, "second load must hit the cache"
+    np.testing.assert_array_equal(np.asarray(out2["w"]),
+                                  np.asarray(out1["w"]))
+
+    with open(src, "w") as f:     # size change -> key mismatch
+        f.write("v2 longer")
+    out3 = loaders._cached_convert(src, convert_fn, cache=True)
+    assert len(calls) == 2, "source change must invalidate the cache"
+    assert float(np.asarray(out3["w"])[0]) == 2.0
+
+    # cache=False never touches the converter cache
+    loaders._cached_convert(src, convert_fn, cache=False)
+    assert len(calls) == 3
+
+
+def test_load_policy_params_orbax_dir(tmp_path):
+    cfg = tiny_pi0_config()
+    p = pi0.init_pi0(jax.random.PRNGKey(0), cfg)
+    ck = checkpoints.save_params(str(tmp_path / "ck"), p)
+    loaded = loaders.load_policy_params(ck, cfg)
+    np.testing.assert_array_equal(_leaf(loaded), _leaf(p))
+
+    with pytest.raises(FileNotFoundError):
+        loaders.load_policy_params(str(tmp_path / "weights.npz"), cfg)
+
+
+def test_load_verifier_merged_pt_caches_and_needs_backbone(tmp_path):
+    """Heads-only merged ensembles reuse the supplied frozen backbone
+    (efficient_ensemble_merged.py:36-53 schema); without one the load
+    must fail loudly. The second load comes from the .jaxcache."""
+    torch = pytest.importorskip("torch")  # noqa: F841 (merged .pt format)
+    from cover_vla_tpu.convert.verifier_to_torch import save_merged_ensemble
+
+    vcfg = tiny_verifier_config()
+    vp = verifier.init_verifier(jax.random.PRNGKey(1), vcfg, num_members=2)
+    path = str(tmp_path / "merged.pt")
+    save_merged_ensemble(path, vp["members"], vcfg)
+
+    with pytest.raises(ValueError):
+        loaders.load_verifier_params(path, vcfg, backbone_params=None)
+
+    out = loaders.load_verifier_params(path, vcfg,
+                                       backbone_params=vp["backbone"])
+    assert "backbone" in out and os.path.isdir(path + ".jaxcache")
+    # cache-hit path serves the same heads
+    out2 = loaders.load_verifier_params(path, vcfg,
+                                        backbone_params=vp["backbone"])
+    np.testing.assert_array_equal(_leaf(out2["members"]),
+                                  _leaf(out["members"]))

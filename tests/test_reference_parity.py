@@ -365,6 +365,34 @@ def test_safetensors_file_ingestion_full_parity(flow_matching_fp32,
     np.testing.assert_allclose(ours, theirs, rtol=0, atol=1e-4)
 
 
+def test_torch_oracle_builder_roundtrip(flow_matching_fp32):
+    """convert/torch_oracle.py's geometry-parameterised builder + state
+    dict loader (the full-3.24B ingest stage's machinery) at tiny dims:
+    build a second reference from the exported sd via
+    build_reference_flow_matching + load_lerobot_sd_into_reference and
+    check it reproduces the original's fp32 sample_actions exactly."""
+    from cover_vla_tpu.convert import torch_oracle
+
+    ref, sd, our_cfg = flow_matching_fp32
+    pwe, mpi0 = _load_reference_pi0(fp32_oracle=True)
+    ref2 = torch_oracle.build_reference_flow_matching(our_cfg, pwe, mpi0)
+    n = torch_oracle.load_lerobot_sd_into_reference(ref2, sd)
+    assert n == len(sd)
+
+    img, state, lang, lmask, noise = _full_path_inputs(our_cfg.chunk_size)
+    b = state.shape[0]
+
+    def run(model):
+        with torch.no_grad():
+            return model.sample_actions(
+                [torch.from_numpy(img)], [torch.ones(b, dtype=torch.bool)],
+                torch.from_numpy(lang), torch.from_numpy(lmask),
+                torch.from_numpy(state),
+                noise=torch.from_numpy(noise.copy())).numpy()
+
+    np.testing.assert_allclose(run(ref2), run(ref), rtol=0, atol=1e-6)
+
+
 def test_sample_actions_production_dtype_end_to_end(flow_matching_bf16):
     """Same full path at the reference's production dtype map (intrinsic
     bf16 transformer + fp32 projections). Residual error is accumulated

@@ -1,21 +1,21 @@
 """Verification-scaling regression: the engine must turn candidate count
-into success rate when the scorer is good.
+into success rate — and since round 4, so must the TRAINED verifier.
 
 CI-sized version of the committed experiment
 (scripts/verification_scaling.py, docs/verification_scaling.md — the
-repo's analog of the reference's headline table README.md:136-155). The
-controllable scorer is the privileged progress oracle
-(fake_expert.chunk_quality); with it, best-of-N selection through the
-sample->select loop must sharply beat random selection (the plain-pi0
-baseline) at N=16 on the same seeds. Everything is seeded, so the margin
-is deterministic; Wilson CIs are reported for context.
+repo's analog of the reference's headline table README.md:136-155).
 
-The from-scratch tiny verifier's own selection skill is NOT asserted —
-docs/verification_scaling.md documents that gap (it is attributable to
-the missing pretrained SigLIP2 backbone, not to the engine; the engine
-path is identical for oracle and verifier arms up to the scorer).
+Two layers of protection:
+  * committed-grid assertions on experiments/verification_scaling/
+    results.json — the exact done-criteria from the round-3 review:
+    verifier beats random at N=16 with non-overlapping 95% CIs, and never
+    collapses below the no-selection baseline at N=40;
+  * live CI-sized runs through the real engine (oracle-vs-random margin,
+    and the committed verifier checkpoint's non-adversarialness) so a
+    code regression cannot hide behind a stale results.json.
 """
 
+import json
 import os
 import pickle
 
@@ -42,18 +42,59 @@ def trained():
             _load("stats.pkl"))
 
 
+def _grid():
+    with open(os.path.join(ART_DIR, "results.json")) as f:
+        res = json.load(f)
+    return {(c["mode"], c["n_samples"], c.get("n_rephrases", 1)): c
+            for c in res["grid"]}
+
+
+def test_committed_grid_verifier_beats_random():
+    """The committed experiment grid demonstrates LEARNED verification
+    scaling: verifier > random at N=16 with non-overlapping 95% CIs, and
+    no N where the verifier falls below the plain-pi0 baseline (the
+    round-3 checkpoint collapsed to 16% vs 28% at N=40)."""
+    cells = _grid()
+    v16, r16 = cells[("verifier", 16, 1)], cells[("random", 16, 1)]
+    assert v16["ci95"][0] > r16["ci95"][1], (
+        f"verifier@16 CI {v16['ci95']} must clear random@16 CI "
+        f"{r16['ci95']}")
+    base = cells[("first", 1, 1)]
+    for (mode, n, k), c in cells.items():
+        if mode == "verifier":
+            assert c["success_rate"] >= base["success_rate"], (
+                f"verifier@N={n},K={k} {c['success_rate']} below the "
+                f"baseline {base['success_rate']} — active harm")
+    # the scaling direction: more candidates must not hurt the verifier
+    v5, v40 = cells[("verifier", 5, 1)], cells[("verifier", 40, 1)]
+    assert v40["success_rate"] >= v5["success_rate"] - 0.05
+
+
+def test_committed_grid_oracle_ceiling():
+    """The privileged-oracle arm (engine-native injected scores) keeps
+    proving the machinery's ceiling: monotone in N and far above random."""
+    cells = _grid()
+    o16, r16 = cells[("oracle", 16, 1)], cells[("random", 16, 1)]
+    assert o16["ci95"][0] > r16["ci95"][1]
+    assert cells[("oracle", 40, 1)]["success_rate"] >= \
+        cells[("oracle", 5, 1)]["success_rate"] - 0.05
+
+
 def test_oracle_selection_scales_verification(trained):
+    """Live CI-sized oracle-vs-random margin through the real batched
+    engine (the injected-score propose/select path)."""
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(ART_DIR), "..",
                                     "scripts"))
     from verification_scaling import (experiment_configs, run_cell,
-                                      run_oracle_cell, wilson_ci)
+                                      wilson_ci)
 
     policy_params, verifier_params, stats = trained
     pcfg, vcfg = experiment_configs()
 
     trials = 25
-    oracle = run_oracle_cell(policy_params, pcfg, vcfg, stats, 16, trials)
+    oracle = run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
+                      "oracle", 16, trials, n_parallel=5, seed=7)
     rnd = run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
                    "random", 16, trials, n_parallel=5, seed=7)
 
@@ -65,15 +106,13 @@ def test_oracle_selection_scales_verification(trained):
     # verification-scaling capability
     assert oracle["success_rate"] - rnd["success_rate"] >= 0.2, msg
     lo, _ = wilson_ci(oracle["successes"], oracle["episodes"])
-    _, hi = wilson_ci(rnd["successes"], rnd["episodes"])
     assert lo > 0.3, msg   # oracle is decisively above chance
 
 
 def test_trained_verifier_not_adversarial(trained):
-    """The committed from-scratch verifier checkpoint must not be WORSE
-    than executing candidate 0 at N=5 — a checkpoint that actively picks
-    bad candidates (an earlier pairwise-mined one drove success to 0)
-    must never ship as a fixture."""
+    """The committed verifier checkpoint, run live at N=16, must at least
+    match candidate-0 execution (an earlier pairwise-mined checkpoint
+    drove success to 0 — that class of regression must never ship)."""
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(ART_DIR), "..",
                                     "scripts"))
@@ -83,8 +122,8 @@ def test_trained_verifier_not_adversarial(trained):
     pcfg, vcfg = experiment_configs()
     trials = 25
     ver = run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
-                   "verifier", 5, trials, n_parallel=5, seed=7)
+                   "verifier", 16, trials, n_parallel=5, seed=7)
     base = run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
                     "first", 1, trials, n_parallel=5, seed=7)
-    msg = f"verifier@5 {ver['success_rate']} vs pi0 {base['success_rate']}"
-    assert ver["success_rate"] >= base["success_rate"] - 0.2, msg
+    msg = f"verifier@16 {ver['success_rate']} vs pi0 {base['success_rate']}"
+    assert ver["success_rate"] >= base["success_rate"], msg
