@@ -198,9 +198,18 @@ def load_lerobot_sd_into_reference(ref, sd: Dict[str, np.ndarray]) -> int:
             continue  # normalize buffers live on PI0Policy, not the model
         key = k[len("model."):]
         if key not in msd_keys:
-            # older layout ...paligemma.language_model.model.layers...
-            # vs newer ...paligemma.model.language_model.layers...
+            # Three sd layouts must land on the assembled module tree
+            # (newer transformers + the `_Shim` restoring the inner
+            # `.model` the reference walks):
+            #   old lerobot   ...paligemma.language_model.model.layers...
+            #   newer export  ...paligemma.model.language_model.layers...
+            #   shimmed       ...paligemma.model.language_model.model.layers
+            # Candidates are tried in order and accepted only on a hit.
             for old, new in (
+                    (".paligemma.language_model.",
+                     ".paligemma.model.language_model."),
+                    (".paligemma.model.language_model.",
+                     ".paligemma.model.language_model.model."),
                     (".paligemma.language_model.model.",
                      ".paligemma.model.language_model."),
                     (".paligemma.language_model.lm_head.",
@@ -217,9 +226,17 @@ def load_lerobot_sd_into_reference(ref, sd: Dict[str, np.ndarray]) -> int:
         if key in msd_keys:
             remapped[key] = torch.from_numpy(np.ascontiguousarray(val))
     missing, unexpected = ref.load_state_dict(remapped, strict=False)
-    # every PARAMETER must be covered; rotary buffers etc. may be missing
+    # every PARAMETER must be covered; rotary buffers etc. may be missing.
+    # Real lerobot pi0 checkpoints omit heads the flow-matching graph never
+    # touches (the expert is fed only projected state/action tokens and
+    # read via hidden states — modeling_pi0.py:569-629,672-752): the
+    # expert's embed_tokens/lm_head and the (tied) paligemma lm_head.
     param_keys = {n for n, _ in ref.named_parameters()}
-    uncovered = param_keys - set(remapped)
+    unused_by_flow_matching = {
+        k for k in param_keys
+        if k.endswith("lm_head.weight")
+        or k.endswith("gemma_expert.model.embed_tokens.weight")}
+    uncovered = param_keys - set(remapped) - unused_by_flow_matching
     if uncovered:
         raise ValueError(
             f"{len(uncovered)} reference parameters not covered by the "
