@@ -49,6 +49,20 @@ def _to_jnp(tree, dtype):
     return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), tree)
 
 
+def _precast(tree, dtype, ln_keys=("ln1", "ln2")):
+    """Host-side numpy cast of a stacked block tree (weights -> `dtype`,
+    layernorm leaves -> fp32) BEFORE device transfer: the numpy bf16 cast
+    is ~10x faster than XLA's on this host class and halves transfer
+    bytes (see pi0_from_torch._c)."""
+
+    def cast(path, x):
+        is_ln = any(getattr(k, "key", "") in ln_keys for k in path)
+        want = np.dtype(jnp.float32 if is_ln else dtype)
+        return jnp.asarray(np.asarray(x).astype(want, copy=False))
+
+    return jax.tree_util.tree_map_with_path(cast, tree)
+
+
 # --------------------------------------------------------------------------
 # Backbone
 # --------------------------------------------------------------------------
@@ -83,19 +97,16 @@ def convert_timm_vit(sd: StateDict, cfg: VitConfig, prefix: str = "visual.trunk"
 
     blocks = _stack(layer, cfg.depth)
 
-    def cast(path, x):
-        is_ln = any(getattr(k, "key", "") in ("ln1", "ln2") for k in path)
-        return jnp.asarray(x, jnp.float32 if is_ln else dtype)
-
+    npd = np.dtype(dtype)
     return {
         "patch_embed": {
             "kernel": jnp.asarray(
-                conv_w.transpose(2, 3, 1, 0).reshape(-1, conv_w.shape[0]),
-                dtype),
-            "bias": jnp.asarray(_t(sd, f"{prefix}.patch_embed.proj.bias"),
-                                dtype)},
-        "pos_emb": jnp.asarray(pos, dtype),
-        "blocks": jax.tree_util.tree_map_with_path(cast, blocks),
+                conv_w.transpose(2, 3, 1, 0).reshape(-1, conv_w.shape[0])
+                .astype(npd, copy=False)),
+            "bias": jnp.asarray(_t(sd, f"{prefix}.patch_embed.proj.bias")
+                                .astype(npd, copy=False))},
+        "pos_emb": jnp.asarray(pos.astype(npd, copy=False)),
+        "blocks": _precast(blocks, dtype),
         "final_ln": _to_jnp(_ln(sd, f"{prefix}.norm"), jnp.float32),
     }
 
@@ -125,17 +136,16 @@ def convert_openclip_text(sd: StateDict, cfg: SiglipTextConfig,
 
     blocks = _stack(layer, cfg.depth)
 
-    def cast(path, x):
-        is_ln = any(getattr(k, "key", "") in ("ln1", "ln2") for k in path)
-        return jnp.asarray(x, jnp.float32 if is_ln else dtype)
-
+    npd = np.dtype(dtype)
     proj_w = _t(sd, f"{prefix}.text_projection.weight")
     return {
-        "token_embed": jnp.asarray(_t(sd, f"{prefix}.token_embedding.weight"),
-                                   dtype),
-        "pos_emb": jnp.asarray(_t(sd, f"{prefix}.positional_embedding"),
-                               dtype),
-        "blocks": jax.tree_util.tree_map_with_path(cast, blocks),
+        "token_embed": jnp.asarray(
+            _t(sd, f"{prefix}.token_embedding.weight").astype(npd,
+                                                              copy=False)),
+        "pos_emb": jnp.asarray(
+            _t(sd, f"{prefix}.positional_embedding").astype(npd,
+                                                            copy=False)),
+        "blocks": _precast(blocks, dtype),
         "ln_final": _to_jnp(_ln(sd, f"{prefix}.ln_final"), jnp.float32),
         "text_projection": {
             "kernel": jnp.asarray(proj_w.T, jnp.float32),
