@@ -13,11 +13,13 @@ policy_wrapper.py:91-113). Formats accepted here:
             * merged-ensemble .pt (`ensemble_components` schema,
               efficient_ensemble_merged.py:36-53)
 
-Torch-format sources are convert-once: the converted JAX tree is written
-to a `<file>.jaxcache/` orbax directory beside the source (key: source
-mtime+size), so checkpoint-iteration reloads skip the torch->JAX
-restructuring entirely (the 3.24B convert is ~40 min on this host; the
-cached reload is an orbax restore + device transfer).
+Torch-format sources are convert-once: the conversion runs under
+`hostmode.host_arrays()` (host numpy leaves), the host tree is written
+to `<file>.jaxcache/params.blob` beside the source (key: source
+mtime+size) at disk speed — no device round trip — and reaches the
+device in ONE batched `jax.device_put`. Cached reloads memmap the blob
+and device_put it: the reload cost is the h2d transfer floor alone
+(INGEST_r04 `cached_reload_s` vs `h2d_mib_s`).
 """
 
 from __future__ import annotations
@@ -26,8 +28,10 @@ import json
 import os
 from typing import Any, Dict
 
+import jax
+
 from cover_vla_tpu.configs import Pi0Config, VerifierConfig
-from cover_vla_tpu.convert import checkpoints
+from cover_vla_tpu.convert import blob, checkpoints, hostmode
 
 
 def _is_orbax_dir(path: str) -> bool:
@@ -42,29 +46,32 @@ def _cache_key(src: str) -> Dict[str, Any]:
 
 
 def _cached_convert(src: str, convert_fn, cache: bool):
-    """Convert-once wrapper: orbax-restore `<src>.jaxcache/` when its meta
-    matches the source file, else convert and write through."""
+    """Convert-once wrapper: memmap-restore `<src>.jaxcache/params.blob`
+    when its meta matches the source file, else convert host-side, write
+    the blob through (disk speed, no device round trip), and device_put."""
     if not cache:
         return convert_fn()
     cache_dir = src + ".jaxcache"
     meta_path = os.path.join(cache_dir, "meta.json")
+    blob_path = os.path.join(cache_dir, "params.blob")
     key = _cache_key(src)
     if os.path.exists(meta_path):
         try:
             with open(meta_path) as f:
                 if json.load(f) == key:
-                    return checkpoints.load_params(
-                        os.path.join(cache_dir, "params"))
+                    host = blob.load_tree(blob_path)
+                    return jax.device_put(host)
         except Exception:
-            pass  # stale/corrupt cache falls through to reconvert
-    params = convert_fn()
+            pass  # stale/corrupt/legacy-format cache -> reconvert
+    with hostmode.host_arrays():
+        host = convert_fn()
     try:
-        checkpoints.save_params(os.path.join(cache_dir, "params"), params)
+        blob.save_tree(blob_path, host)
         with open(meta_path, "w") as f:
             json.dump(key, f)
     except Exception:
         pass  # read-only source dir: serve uncached
-    return params
+    return jax.device_put(host)
 
 
 def load_policy_params(path: str, cfg: Pi0Config,

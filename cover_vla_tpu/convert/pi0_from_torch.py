@@ -27,6 +27,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from cover_vla_tpu.configs import Pi0Config, GemmaConfig, VitConfig
+from cover_vla_tpu.convert import hostmode
 
 Array = np.ndarray
 StateDict = Mapping[str, Array]
@@ -59,8 +60,10 @@ def _c(x: Array, dtype) -> Array:
 
 
 def _j(x: Array, dtype) -> jnp.ndarray:
-    """jnp.asarray with the cast done host-side (see _c)."""
-    return jnp.asarray(_c(x, dtype))
+    """jnp.asarray with the cast done host-side (see _c). Under
+    `hostmode.host_arrays()` the transfer is skipped and the host array
+    returned as-is (convert-once cache path, loaders.py)."""
+    return hostmode.asarray(_c(x, dtype))
 
 
 def _linear(sd: StateDict, prefix: str) -> Dict[str, Array]:
@@ -108,7 +111,7 @@ def convert_gemma(sd: StateDict, cfg: GemmaConfig, prefix: str,
 
     layers = _stack(layer, cfg.depth)
     out = {
-        "layers": {k: jnp.asarray(v) for k, v in layers.items()},
+        "layers": {k: hostmode.asarray(v) for k, v in layers.items()},
         "final_norm": _j(_t(sd, f"{prefix}norm.weight"), jnp.float32),
     }
     if embed:
@@ -158,7 +161,7 @@ def convert_siglip_vision(sd: StateDict, cfg: VitConfig, prefix: str,
                         "bias": _j(_t(sd, p + "patch_embedding.bias"),
                                    dtype)},
         "pos_emb": _j(_t(sd, p + "position_embedding.weight"), dtype),
-        "blocks": jax.tree_util.tree_map(jnp.asarray, layers),
+        "blocks": jax.tree_util.tree_map(hostmode.asarray, layers),
         "final_ln": {
             "scale": _j(_t(sd, prefix + ".post_layernorm.weight"),
                         jnp.float32),

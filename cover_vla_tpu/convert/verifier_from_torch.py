@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from cover_vla_tpu.configs import VerifierConfig, VitConfig, SiglipTextConfig
+from cover_vla_tpu.convert import hostmode
 
 Array = np.ndarray
 StateDict = Mapping[str, Array]
@@ -46,7 +47,10 @@ def _stack(fn, depth):
 
 
 def _to_jnp(tree, dtype):
-    return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), tree)
+    # hostmode.asarray == jnp.asarray outside `hostmode.host_arrays()`
+    # (the convert-once cache path writes host trees, loaders.py)
+    return jax.tree_util.tree_map(
+        lambda x: hostmode.asarray(x, dtype), tree)
 
 
 def _precast(tree, dtype, ln_keys=("ln1", "ln2")):
@@ -58,7 +62,7 @@ def _precast(tree, dtype, ln_keys=("ln1", "ln2")):
     def cast(path, x):
         is_ln = any(getattr(k, "key", "") in ln_keys for k in path)
         want = np.dtype(jnp.float32 if is_ln else dtype)
-        return jnp.asarray(np.asarray(x).astype(want, copy=False))
+        return hostmode.asarray(np.asarray(x).astype(want, copy=False))
 
     return jax.tree_util.tree_map_with_path(cast, tree)
 
@@ -100,12 +104,13 @@ def convert_timm_vit(sd: StateDict, cfg: VitConfig, prefix: str = "visual.trunk"
     npd = np.dtype(dtype)
     return {
         "patch_embed": {
-            "kernel": jnp.asarray(
+            "kernel": hostmode.asarray(
                 conv_w.transpose(2, 3, 1, 0).reshape(-1, conv_w.shape[0])
                 .astype(npd, copy=False)),
-            "bias": jnp.asarray(_t(sd, f"{prefix}.patch_embed.proj.bias")
-                                .astype(npd, copy=False))},
-        "pos_emb": jnp.asarray(pos.astype(npd, copy=False)),
+            "bias": hostmode.asarray(
+                _t(sd, f"{prefix}.patch_embed.proj.bias")
+                .astype(npd, copy=False))},
+        "pos_emb": hostmode.asarray(pos.astype(npd, copy=False)),
         "blocks": _precast(blocks, dtype),
         "final_ln": _to_jnp(_ln(sd, f"{prefix}.norm"), jnp.float32),
     }
@@ -139,17 +144,17 @@ def convert_openclip_text(sd: StateDict, cfg: SiglipTextConfig,
     npd = np.dtype(dtype)
     proj_w = _t(sd, f"{prefix}.text_projection.weight")
     return {
-        "token_embed": jnp.asarray(
+        "token_embed": hostmode.asarray(
             _t(sd, f"{prefix}.token_embedding.weight").astype(npd,
                                                               copy=False)),
-        "pos_emb": jnp.asarray(
+        "pos_emb": hostmode.asarray(
             _t(sd, f"{prefix}.positional_embedding").astype(npd,
                                                             copy=False)),
         "blocks": _precast(blocks, dtype),
         "ln_final": _to_jnp(_ln(sd, f"{prefix}.ln_final"), jnp.float32),
         "text_projection": {
-            "kernel": jnp.asarray(proj_w.T, jnp.float32),
-            "bias": jnp.asarray(
+            "kernel": hostmode.asarray(proj_w.T, jnp.float32),
+            "bias": hostmode.asarray(
                 _t(sd, f"{prefix}.text_projection.bias"), jnp.float32)},
     }
 
@@ -233,8 +238,9 @@ def _convert_traj_encoder(sd: StateDict, cfg: VerifierConfig,
 
 def _lin_module(sd: StateDict) -> Dict[str, Any]:
     """A bare nn.Linear module state dict ({'weight','bias'})."""
-    return {"kernel": jnp.asarray(np.asarray(sd["weight"]).T, jnp.float32),
-            "bias": jnp.asarray(np.asarray(sd["bias"]), jnp.float32)}
+    return {"kernel": hostmode.asarray(np.asarray(sd["weight"]).T,
+                                       jnp.float32),
+            "bias": hostmode.asarray(np.asarray(sd["bias"]), jnp.float32)}
 
 
 def convert_member(component: Mapping[str, Any],
@@ -243,10 +249,10 @@ def convert_member(component: Mapping[str, Any],
     d = cfg.vision_pooling_output_dim
     tave = component["text_aware_visual_extraction"]
     member = {
-        "logit_scale": jnp.asarray(
+        "logit_scale": hostmode.asarray(
             np.asarray(component.get("logit_scale", cfg.logit_scale_init)
                        ).reshape(()), jnp.float32),
-        "tave_temperature": jnp.asarray(
+        "tave_temperature": hostmode.asarray(
             np.asarray(tave["temperature"]).reshape(()), jnp.float32),
         "text_pooling": _convert_attention_pooling(
             component["text_pooling"], cfg, cfg.text.embed_dim),
@@ -262,7 +268,7 @@ def convert_member(component: Mapping[str, Any],
 def convert_ensemble_components(components: List[Mapping[str, Any]],
                                 cfg: VerifierConfig) -> Dict[str, Any]:
     members = [convert_member(c, cfg) for c in components]
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *members)
+    return jax.tree_util.tree_map(lambda *xs: hostmode.stack(xs), *members)
 
 
 def convert_merged_checkpoint(path: str, cfg: VerifierConfig,

@@ -260,10 +260,10 @@ def test_traj_encoder_parity_vs_torch():
                                atol=2e-4)
 
 
-def test_pi0_full_convert_roundtrip_shapes():
-    """A synthetic full pi0 state dict converts into a tree that runs."""
-    from cover_vla_tpu.configs import tiny_pi0_config
-    cfg = tiny_pi0_config()
+def make_tiny_pi0_state_dict(cfg):
+    """Synthetic tiny-dims pi0 state dict in the exact lerobot layout
+    (numpy values) — shared by the convert round-trip and hostmode/blob
+    cache tests."""
     torch.manual_seed(5)
 
     sd = {}
@@ -322,7 +322,15 @@ def test_pi0_full_convert_roundtrip_shapes():
     lin("model.action_time_mlp_in", cfg.proj_width, 2 * cfg.proj_width)
     lin("model.action_time_mlp_out", cfg.proj_width, cfg.proj_width)
 
-    sd_np = {k: val.numpy() for k, val in sd.items()}
+    return {k: val.numpy() for k, val in sd.items()}
+
+
+def test_pi0_full_convert_roundtrip_shapes():
+    """A synthetic full pi0 state dict converts into a tree that runs."""
+    from cover_vla_tpu.configs import tiny_pi0_config
+    cfg = tiny_pi0_config()
+    w, v = cfg.paligemma, cfg.vision
+    sd_np = make_tiny_pi0_state_dict(cfg)
     params = pi0_from_torch.convert_pi0(sd_np, cfg)
 
     from cover_vla_tpu.models import pi0 as pi0_model
