@@ -99,6 +99,47 @@ def euler_action_to_exec(action: np.ndarray,
     return np.concatenate([a[:3], axis * angle, [g]])
 
 
+def hf_causal_generate_fn(model, build_inputs: Callable[[Dict], Dict],
+                          max_new_tokens: int = 8,
+                          allowed_token_range: Optional[tuple] = None
+                          ) -> Callable[[Dict], np.ndarray]:
+    """Bind a real `transformers` causal-LM into a `generate_fn(obs)->ids`.
+
+    The reference's HF wrappers call `model.generate` on processor-built
+    inputs and hand the raw id tensor to the decode step
+    (policy_wrapper.py:187-223 SpatialVLA, :225-293 Magma). This helper is
+    that seam: `build_inputs(obs)` maps an observation to the model's
+    tensor kwargs (the task-specific processor), and the returned ids
+    (prompt prefix + generated tail, exactly what `generate` yields) feed
+    `magma_decode_tokens` / a custom `decode_fn` unchanged.
+
+    allowed_token_range: optional (lo, hi) restricting generation to the
+    action-token id range — how Magma-style heads keep `generate` inside
+    the bin vocabulary.
+    """
+    import torch
+
+    prefix_fn = None
+    if allowed_token_range is not None:
+        lo, hi = allowed_token_range
+        allowed = list(range(lo, hi))
+
+        def prefix_fn(batch_id, input_ids):  # noqa: ANN001
+            return allowed
+
+    def generate_fn(obs: Dict[str, Any]) -> np.ndarray:
+        inputs = build_inputs(obs)
+        with torch.no_grad():
+            out = model.generate(
+                **inputs, max_new_tokens=max_new_tokens, do_sample=False,
+                prefix_allowed_tokens_fn=prefix_fn,
+                pad_token_id=getattr(model.config, "pad_token_id", None)
+                or getattr(model.config, "eos_token_id", 0))
+        return np.asarray(out[0])
+
+    return generate_fn
+
+
 class ScriptedPolicyWrapper:
     """Deterministic proportional controller toward a target — a servable
     stand-in exercising the full RPC surface without a model."""

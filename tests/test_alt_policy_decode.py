@@ -124,3 +124,50 @@ def test_spatialvla_wrapper_ensembles_without_denorm():
 
     with pytest.raises(NotImplementedError):
         wrapper_q.switch_model("x")
+
+
+def test_magma_wrapper_drives_a_real_hf_model_end_to_end():
+    """The full HF seam with an ACTUAL transformers causal-LM: a tiny
+    randomly-initialised GPT-2 generates constrained action-token ids via
+    `model.generate` (the reference wrapper's exact call shape,
+    policy_wrapper.py:187-223), `hf_causal_generate_fn` hands the raw ids
+    through, and MagmaPolicyWrapper's decode/denorm/exec chain matches a
+    hand computation from those same ids."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    from cover_vla_tpu.serving.alt_policies import hf_causal_generate_fn
+
+    vocab = 600
+    torch.manual_seed(0)
+    model = GPT2LMHeadModel(GPT2Config(
+        vocab_size=vocab, n_positions=64, n_embd=32, n_layer=2, n_head=2,
+        eos_token_id=0, pad_token_id=0)).eval()
+
+    def build_inputs(obs):
+        # stand-in "processor": prompt ids derived from the instruction
+        ids = [(7 * len(obs.get("instruction", ""))) % vocab + 1, 3, 5]
+        return {"input_ids": torch.tensor([ids], dtype=torch.long)}
+
+    # constrain generation to the 255-bin action-token id range
+    lo, hi = vocab - 256, vocab
+    gen = hf_causal_generate_fn(model, build_inputs, max_new_tokens=8,
+                                allowed_token_range=(lo, hi))
+    ids = gen({"instruction": "pick up the carrot"})
+    assert ids.ndim == 1 and len(ids) == 3 + 8      # prompt + generated
+    assert (ids[3:] >= lo).all() and (ids[3:] < hi).all()
+    # deterministic: greedy decode of the same inputs reproduces the ids
+    np.testing.assert_array_equal(gen({"instruction": "pick up the carrot"}),
+                                  ids)
+
+    stats = _stats(p01=[-0.2] * 7, p99=[0.2] * 7)
+    wrapper = MagmaPolicyWrapper(gen, vocab_size=vocab, stats=stats)
+    out = wrapper.infer({"instruction": "pick up the carrot"})["actions"]
+
+    # hand computation from the generated ids (policy_wrapper.py:252-268)
+    norm = magma_decode_tokens(ids, vocab)
+    raw = masked_denormalize_bound(norm, stats)
+    expect = euler_action_to_exec(raw, binarize_gripper=True)
+    np.testing.assert_allclose(out, expect, rtol=0, atol=0)
+    assert out.shape == (7,) and out[6] in (-1.0, 1.0)
