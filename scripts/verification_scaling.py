@@ -831,10 +831,12 @@ def run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
 # reference's 8-rephrase x 5-sample protocol (README.md:136): language
 # variation as a second scaling axis through stage-2 group-mean selection.
 GRID = [("first", 1, 1), ("random", 5, 1), ("random", 16, 1),
-        ("random", 40, 1),
+        ("random", 40, 1), ("random", 80, 1),
         ("verifier", 1, 1), ("verifier", 5, 1), ("verifier", 16, 1),
-        ("verifier", 40, 1),
-        ("random", 5, 8), ("verifier", 5, 8)]
+        ("verifier", 40, 1), ("verifier", 80, 1),
+        ("random", 5, 8), ("verifier", 5, 8), ("verifier", 16, 8)]
+
+ORACLE_NS = (5, 16, 40, 80)
 
 
 def cmd_eval(args):
@@ -847,10 +849,18 @@ def cmd_eval(args):
     cells = []
     if args.merge and os.path.exists(os.path.join(ART_DIR, "results.json")):
         with open(os.path.join(ART_DIR, "results.json")) as f:
-            cells = [c for c in json.load(f)["grid"]
+            old = json.load(f)["grid"]
+        if args.skip_existing:
+            cells = list(old)   # keep everything; run only new grid cells
+        else:
+            cells = [c for c in old
                      if args.modes and c["mode"] not in args.modes]
+    have = {(c["mode"], c["n_samples"], c.get("n_rephrases", 1))
+            for c in cells}
     for mode, n_samples, n_reph in GRID:
         if args.modes and mode not in args.modes:
+            continue
+        if (mode, n_samples, n_reph) in have:
             continue
         t0 = time.time()
         suffix = f"_K{n_reph}" if n_reph > 1 else ""
@@ -881,7 +891,9 @@ def cmd_eval(args):
                    - v16["success_rate"]) < 1e-9, "analyzer disagreement"
 
     if args.with_oracle and (not args.modes or 'oracle' in args.modes):
-        for n_samples in (5, 16, 40):
+        for n_samples in ORACLE_NS:
+            if ("oracle", n_samples, 1) in have:
+                continue
             t0 = time.time()
             cell = run_cell(policy_params, verifier_params, pcfg, vcfg,
                             stats, "oracle", n_samples, trials=args.trials,
@@ -898,6 +910,10 @@ def cmd_eval(args):
     # instruction-switch stats for the rephrase-axis cell (the analyzer's
     # view of stage-2 language selection live through the engine)
     switch = None
+    res_path = os.path.join(ART_DIR, "results.json")
+    if args.merge and os.path.exists(res_path):
+        with open(res_path) as f:   # keep stats a --skip-existing run
+            switch = json.load(f).get("instruction_switch_K8")  # didn't redo
     k8_dir = os.path.join(ART_DIR, "episodes", "verifier_N5_K8")
     if ((not args.modes or "verifier" in args.modes)
             and os.path.isdir(k8_dir)):
@@ -976,11 +992,15 @@ def cmd_report(args):
     # rephrase axis (the reference's 8-rephrase x 5-sample protocol)
     k8 = [(m, cells.get((m, 5, 8))) for m in ("random", "verifier")]
     if any(c for _, c in k8):
-        lines += ["", "## Rephrase axis (K=8 x N=5, the reference's "
+        lines += ["", "## Rephrase axis (K=8, the reference's "
                       "protocol shape)", "",
-                  "| selection | N=5, K=1 | N=5 x K=8 |", "|---|---|---|"]
+                  "| selection | N=5, K=1 | N=5 x K=8 | N=16, K=1 "
+                  "| N=16 x K=8 |", "|---|---|---|---|---|"]
         for m, c in k8:
-            lines.append(f"| {m} | {fmt(cells.get((m, 5, 1)))} | {fmt(c)} |")
+            lines.append(
+                f"| {m} | {fmt(cells.get((m, 5, 1)))} | {fmt(c)} "
+                f"| {fmt(cells.get((m, 16, 1)))} "
+                f"| {fmt(cells.get((m, 16, 8)))} |")
         sw = res.get("instruction_switch_K8")
         if sw:
             lines += ["",
@@ -1135,6 +1155,10 @@ def main():
                    help="restrict to these selection modes")
     e.add_argument("--merge", action="store_true",
                    help="merge with existing results.json cells")
+    e.add_argument("--skip-existing", action="store_true",
+                   help="with --merge: keep every existing cell and run "
+                        "only grid entries not yet in results.json "
+                        "(cheap grid extension from committed artifacts)")
     e.set_defaults(fn=cmd_eval)
 
     r = sub.add_parser("report")
