@@ -78,14 +78,44 @@ def embed_tokens(params: Params, tokens: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _dtype(layers_or_layer: Params):
+    """Compute dtype of a stack: its q weight's dtype, or bf16 when the
+    stack is int8-quantized (ops/quant: the layer dict carries the mode)."""
+    d = layers_or_layer["q"].dtype
+    return jnp.bfloat16 if d == jnp.int8 else d
+
+
+def _mm(x: jax.Array, layer: Params, name: str,
+        xq=None, xs=None) -> jax.Array:
+    """x @ layer[name], dispatching to the int8 path when the layer dict
+    carries `<name>_scale` (ops/quant.quantize_gemma_stack). Pass a
+    pre-quantized (xq, xs) to share one activation quant across the
+    q/k/v (or gate/up) projections of the same input."""
+    w = layer[name]
+    s = layer.get(name + "_scale")
+    if s is None:
+        return x.astype(w.dtype) @ w
+    from cover_vla_tpu.ops import quant
+    if xq is None:
+        xq, xs = quant.quant_act(x)
+    return quant.int8_matmul(xq, xs, w, s)
+
+
 def _qkv(layer: Params, cfg: GemmaConfig, h: jax.Array,
          positions: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """input RMSNorm -> q/k/v projections -> RoPE. h: [..., S, W]."""
-    x = rms_norm(h, layer["input_ln"], cfg.rms_eps).astype(layer["q"].dtype)
+    x = rms_norm(h, layer["input_ln"], cfg.rms_eps).astype(_dtype(layer))
     shape = x.shape[:-1]
-    q = (x @ layer["q"]).reshape(*shape, cfg.num_heads, cfg.head_dim)
-    k = (x @ layer["k"]).reshape(*shape, cfg.num_kv_heads, cfg.head_dim)
-    v = (x @ layer["v"]).reshape(*shape, cfg.num_kv_heads, cfg.head_dim)
+    xq = xs = None
+    if "q_scale" in layer:   # quantize the normed input once for q/k/v
+        from cover_vla_tpu.ops import quant
+        xq, xs = quant.quant_act(x)
+    q = _mm(x, layer, "q", xq, xs).reshape(*shape, cfg.num_heads,
+                                           cfg.head_dim)
+    k = _mm(x, layer, "k", xq, xs).reshape(*shape, cfg.num_kv_heads,
+                                           cfg.head_dim)
+    v = _mm(x, layer, "v", xq, xs).reshape(*shape, cfg.num_kv_heads,
+                                           cfg.head_dim)
     q = apply_rope(q.reshape(-1, *q.shape[-3:]),
                    positions.reshape(-1, positions.shape[-1]),
                    cfg.rope_theta).reshape(q.shape)
@@ -98,11 +128,16 @@ def _qkv(layer: Params, cfg: GemmaConfig, h: jax.Array,
 def _post_attention(layer: Params, cfg: GemmaConfig, h: jax.Array,
                     attn_out: jax.Array) -> jax.Array:
     """o_proj + residual + post-LN + GeGLU MLP + residual."""
-    out = attn_out.astype(layer["o"].dtype) @ layer["o"]
+    out = _mm(attn_out.astype(_dtype(layer)), layer, "o")
     h = h + out
-    y = rms_norm(h, layer["post_ln"], cfg.rms_eps).astype(layer["gate"].dtype)
-    gated = jax.nn.gelu(y @ layer["gate"], approximate=True) * (y @ layer["up"])
-    return h + gated @ layer["down"]
+    y = rms_norm(h, layer["post_ln"], cfg.rms_eps).astype(_dtype(layer))
+    yq = ys = None
+    if "gate_scale" in layer:
+        from cover_vla_tpu.ops import quant
+        yq, ys = quant.quant_act(y)
+    gated = jax.nn.gelu(_mm(y, layer, "gate", yq, ys), approximate=True) \
+        * _mm(y, layer, "up", yq, ys)
+    return h + _mm(gated, layer, "down")
 
 
 def _take_layer(layers: Params, i_or_slice) -> Params:
@@ -151,8 +186,8 @@ def fused_forward(pg_params: Params, ex_params: Params,
         body = jax.checkpoint(body, prevent_cse=False)
 
     (h_p, h_s), _ = jax.lax.scan(
-        body, (prefix_emb.astype(pg_params["layers"]["q"].dtype),
-               suffix_emb.astype(ex_params["layers"]["q"].dtype)),
+        body, (prefix_emb.astype(_dtype(pg_params["layers"])),
+               suffix_emb.astype(_dtype(ex_params["layers"]))),
         (pg_params["layers"], ex_params["layers"]))
     h_p = rms_norm(h_p, pg_params["final_norm"], pg_cfg.rms_eps)
     h_s = rms_norm(h_s, ex_params["final_norm"], ex_cfg.rms_eps)
@@ -204,7 +239,7 @@ def prefill(pg_params: Params, cfg: GemmaConfig, prefix_emb: jax.Array,
         h = _post_attention(layer, cfg, h, attn)
         return h, {"k": k, "v": v}
 
-    h, cache = jax.lax.scan(body, prefix_emb.astype(pg_params["layers"]["q"].dtype),
+    h, cache = jax.lax.scan(body, prefix_emb.astype(_dtype(pg_params["layers"])),
                             pg_params["layers"])
     if return_hidden:
         return rms_norm(h, pg_params["final_norm"], cfg.rms_eps), cache
@@ -275,7 +310,7 @@ def ar_generate(params: Params, cfg: GemmaConfig, prefix_emb: jax.Array,
             return h, (kcl, vcl)
 
         h, (kc, vc) = jax.lax.scan(
-            layer_body, emb.astype(params["layers"]["q"].dtype),
+            layer_body, emb.astype(_dtype(params["layers"])),
             (params["layers"], kc, vc))
         h = rms_norm(h, params["final_norm"], cfg.rms_eps)
         logits = lm_logits(params, cfg, h[:, 0])
@@ -322,7 +357,7 @@ def decode_shared_prefix(ex_params: Params, cfg: GemmaConfig,
         h = _post_attention(layer, cfg, h, attn)
         return h, None
 
-    h, _ = jax.lax.scan(body, suffix_emb.astype(ex_params["layers"]["q"].dtype),
+    h, _ = jax.lax.scan(body, suffix_emb.astype(_dtype(ex_params["layers"])),
                         (ex_params["layers"], cache["k"], cache["v"]))
     return rms_norm(h, ex_params["final_norm"], cfg.rms_eps)
 
