@@ -350,6 +350,33 @@ def main():
         max_r.append((time.time() - t0) / n_pipe)
     max_step_s = float(np.median(max_r))
 
+    # ---- int8 (w8a8) serving mode: the full serving quantization
+    # (`--eval.quantize int8_full`) through the same max-throughput
+    # program — policy Gemma stacks + SigLIP vision tower + verifier
+    # SigLIP2 backbone, all on the MXU's 2x int8 path via params-driven
+    # dispatch (gemma._mm / siglip._vmm). Opt-in capability beyond
+    # parity — the headline above stays the bf16 parity-exact path.
+    # Action deviation vs bf16 is ~1.1% relative
+    # (scripts/int8_tpu_check.py); reported here as throughput only.
+    from cover_vla_tpu.ops import quant
+    qpolicy_params = jax.jit(quant.quantize_pi0_policy)(policy_params)
+    qverifier_params = jax.jit(quant.quantize_verifier)(verifier_params)
+    jax.block_until_ready((qpolicy_params, qverifier_params))
+
+    def callQ(i):
+        keys = jax.random.split(jax.random.PRNGKey(i), E)
+        return stepM(qpolicy_params, qverifier_params, keys, rawE, propE,
+                     ltE, lmE, vtE, histE, hlenE)
+
+    jax.block_until_ready(callQ(0))
+    int8_r = []
+    for r in range(repeats):
+        t0 = time.time()
+        outsQ = [callQ(250 + 50 * r + i) for i in range(n_pipe)]
+        jax.block_until_ready(outsQ)
+        int8_r.append((time.time() - t0) / n_pipe)
+    int8_step_s = float(np.median(int8_r))
+
     # headline = pipelined sustained throughput: the engine double-buffers
     # dispatches (batched_engine.py), and the blocking p50 is dominated by
     # measurement-tunnel latency that drifts 20-30% run to run while the
@@ -392,6 +419,9 @@ def main():
             pcfg.chunk_size / p50_58, 2),
         "max_throughput_actions_per_sec": round(
             E * pcfg.chunk_size / max_step_s, 2),
+        "int8_actions_per_sec": round(
+            E * pcfg.chunk_size / int8_step_s, 2),
+        "int8_spread": spread(int8_r),
         "compile_s": round(compile1_s + compileE_s + compile58_s, 1),
         "device": str(jax.devices()[0]),
     }))

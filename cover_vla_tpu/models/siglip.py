@@ -87,6 +87,27 @@ def init_vit(key: jax.Array, cfg: VitConfig, *, dtype=jnp.bfloat16) -> Params:
     }
 
 
+def _dense_dtype(sub: Params):
+    """Compute dtype for a {kernel, bias} matmul: bias dtype when the
+    kernel is int8-quantized (ops/quant.quantize_vit_stack)."""
+    d = sub["kernel"].dtype
+    return sub["bias"].dtype if d == jnp.int8 else d
+
+
+def _vmm(x: jax.Array, sub: Params, xq=None, xs=None) -> jax.Array:
+    """x @ sub['kernel'] + sub['bias'], dispatching to the int8 path when
+    the sub-dict carries `scale` (ops/quant._quantize_dense). Pass a
+    pre-quantized (xq, xs) to share one activation quant across q/k/v."""
+    s = sub.get("scale")
+    if s is None:
+        return x @ sub["kernel"] + sub["bias"]
+    from cover_vla_tpu.ops import quant
+    if xq is None:
+        xq, xs = quant.quant_act(x)
+    return (quant.int8_matmul(xq, xs, sub["kernel"], s,
+                              out_dtype=sub["bias"].dtype) + sub["bias"])
+
+
 def _block(layer: Params, h: jax.Array, num_heads: int, eps: float,
            mask: Optional[jax.Array] = None, gelu_approx: bool = True,
            attn_impl: str = "xla", fast_math: bool = False):
@@ -98,23 +119,23 @@ def _block(layer: Params, h: jax.Array, num_heads: int, eps: float,
     b, t, w = h.shape
     d = w // num_heads
     x = layer_norm(h, layer["ln1"]["scale"], layer["ln1"]["bias"], eps)
-    x = x.astype(layer["attn"]["q"]["kernel"].dtype)
-    q = (x @ layer["attn"]["q"]["kernel"] + layer["attn"]["q"]["bias"]
-         ).reshape(b, t, num_heads, d)
-    k = (x @ layer["attn"]["k"]["kernel"] + layer["attn"]["k"]["bias"]
-         ).reshape(b, t, num_heads, d)
-    v = (x @ layer["attn"]["v"]["kernel"] + layer["attn"]["v"]["bias"]
-         ).reshape(b, t, num_heads, d)
+    x = x.astype(_dense_dtype(layer["attn"]["q"]))
+    xq = xs = None
+    if "scale" in layer["attn"]["q"]:  # quantize the normed input once
+        from cover_vla_tpu.ops import quant
+        xq, xs = quant.quant_act(x)
+    q = _vmm(x, layer["attn"]["q"], xq, xs).reshape(b, t, num_heads, d)
+    k = _vmm(x, layer["attn"]["k"], xq, xs).reshape(b, t, num_heads, d)
+    v = _vmm(x, layer["attn"]["v"], xq, xs).reshape(b, t, num_heads, d)
     attn = mha_attention(q, k, v, mask=mask, backend=attn_impl,
                          fast_math=fast_math)
-    attn_out = attn.astype(layer["attn"]["o"]["kernel"].dtype) \
-        @ layer["attn"]["o"]["kernel"] + layer["attn"]["o"]["bias"]
+    attn_out = _vmm(attn.astype(_dense_dtype(layer["attn"]["o"])),
+                    layer["attn"]["o"])
     h = h + attn_out
     y = layer_norm(h, layer["ln2"]["scale"], layer["ln2"]["bias"], eps)
-    y = y.astype(layer["mlp"]["fc1"]["kernel"].dtype)
-    y = jax.nn.gelu(y @ layer["mlp"]["fc1"]["kernel"]
-                    + layer["mlp"]["fc1"]["bias"], approximate=gelu_approx)
-    y = y @ layer["mlp"]["fc2"]["kernel"] + layer["mlp"]["fc2"]["bias"]
+    y = y.astype(_dense_dtype(layer["mlp"]["fc1"]))
+    y = jax.nn.gelu(_vmm(y, layer["mlp"]["fc1"]), approximate=gelu_approx)
+    y = _vmm(y, layer["mlp"]["fc2"])
     return h + y, attn_out
 
 

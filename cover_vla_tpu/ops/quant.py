@@ -82,14 +82,59 @@ def quantize_gemma_stack(params: Params) -> Params:
     return out
 
 
-def quantize_pi0_policy(params: Params) -> Params:
+# ViT block matmul sub-dicts ({kernel, bias}) relative to one block entry
+VIT_MATMUL_PATHS = (("attn", "q"), ("attn", "k"), ("attn", "v"),
+                    ("attn", "o"), ("mlp", "fc1"), ("mlp", "fc2"))
+
+
+def _quantize_dense(sub: Params) -> Params:
+    """{kernel, bias} -> {kernel: int8, scale, bias} (models/siglip._vmm
+    dispatches on the `scale` key)."""
+    q, s = quantize_weight(sub["kernel"])
+    out = dict(sub)
+    out["kernel"] = q
+    out["scale"] = s
+    return out
+
+
+def quantize_vit_stack(params: Params) -> Params:
+    """Quantize a ViT stack's block matmuls ([depth, K, N] stacked kernels,
+    per-output-channel scales). Patch embed, norms, biases and positional
+    embeddings stay in their original dtypes."""
+    blocks = {k: dict(v) if isinstance(v, dict) else v
+              for k, v in params["blocks"].items()}
+    for outer, inner in VIT_MATMUL_PATHS:
+        blocks[outer] = dict(blocks[outer])
+        blocks[outer][inner] = _quantize_dense(blocks[outer][inner])
+    out = dict(params)
+    out["blocks"] = blocks
+    return out
+
+
+def quantize_pi0_policy(params: Params, vision: bool = True) -> Params:
     """Serving-time transform of a full pi0 tree: int8-quantize the two
     Gemma stacks (PaliGemma LM + action expert — ~75% of the verified
-    step's matmul FLOPs, docs/roofline.md). Vision tower and the small
-    fp32 action/state projections stay bf16/fp32."""
+    step's matmul FLOPs, docs/roofline.md) and, by default, the SigLIP
+    vision tower's block matmuls. The small fp32 action/state projections
+    stay fp32."""
     out = dict(params)
     out["paligemma"] = quantize_gemma_stack(params["paligemma"])
     out["expert"] = quantize_gemma_stack(params["expert"])
+    if vision:
+        out["vision"] = quantize_vit_stack(params["vision"])
+    return out
+
+
+def quantize_verifier(params: Params) -> Params:
+    """Serving-time transform of a verifier tree: int8-quantize the
+    SigLIP2 backbone ViT's block matmuls. The text tower (64 tokens, one
+    pass per step), trajectory encoder and ensemble heads are a rounding
+    error of the step's FLOPs and carry the scoring-sensitive math — they
+    stay in their trained dtypes."""
+    out = dict(params)
+    out["backbone"] = dict(params["backbone"])
+    out["backbone"]["vision"] = quantize_vit_stack(
+        params["backbone"]["vision"])
     return out
 
 

@@ -70,6 +70,8 @@ class ServeCfg:
     # garbage — refuse unless explicitly allowed
     allow_hash_tokenizer: bool = False
     tokenizer: str = ""             # policy tokenizer path override
+    # serving-time int8 (w8a8) quantization — same modes as EvalCfg
+    quantize: str = "none"
 
 
 @dataclass(frozen=True)
@@ -98,6 +100,10 @@ class EvalCfg:
     tokenizer: str = ""             # policy tokenizer path override
     verifier_tokenizer: str = ""
     allow_hash_tokenizer: bool = False
+    # serving-time int8 (w8a8) quantization (ops/quant.py; ~1.2x on the
+    # v5e MXU): none | int8 (policy Gemma stacks + vision tower) |
+    # int8_full (also the verifier's SigLIP2 backbone)
+    quantize: str = "none"
     tiny: bool = False
     seed: int = 7
 
@@ -495,6 +501,9 @@ def build_server(cfg: RunCfg):
         load_policy_params, load_verifier_params)
 
     s = cfg.serve
+    if s.quantize not in ("none", "int8", "int8_full"):
+        raise SystemExit(f"--serve.quantize {s.quantize!r}: "
+                         "expected none | int8 | int8_full")
     mcfg = tiny_pi0_config() if s.tiny else Pi0Config()
     tok = make_policy_tokenizer(
         mcfg.paligemma.vocab_size,
@@ -523,9 +532,10 @@ def build_server(cfg: RunCfg):
                                          n_rephrases=s.n_rephrases),
                              policy_tokenizer=tok,
                              rephrases=load_rephrases())
-        policy = CoVerPolicyWrapper(engine)
+        policy = CoVerPolicyWrapper(engine, quantize=s.quantize)
     else:
-        policy = Pi0PolicyWrapper(params, mcfg, tokenizer=tok)
+        policy = Pi0PolicyWrapper(params, mcfg, tokenizer=tok,
+                                  quantize=s.quantize)
     return WebsocketPolicyServer(policy, s.host, s.port,
                                  metadata={"model": s.mode})
 
@@ -581,6 +591,14 @@ def role_eval(cfg: RunCfg):
     vp = load_verifier_params(e.verifier_checkpoint, vcfg) \
         if e.verifier_checkpoint else jax.jit(
             lambda k: verifier.init_verifier(k, vcfg, 3))(jax.random.PRNGKey(1))
+    if e.quantize not in ("none", "int8", "int8_full"):
+        raise SystemExit(f"--eval.quantize {e.quantize!r}: "
+                         "expected none | int8 | int8_full")
+    if e.quantize != "none":
+        from cover_vla_tpu.ops import quant
+        pp = jax.jit(quant.quantize_pi0_policy)(pp)
+        if e.quantize == "int8_full":
+            vp = jax.jit(quant.quantize_verifier)(vp)
     ecfg = EvalConfig(
         task_suite=e.task_suite, num_trials_per_task=e.num_trials_per_task,
         max_steps=e.max_steps, out_dir=e.out_dir, seed=e.seed)

@@ -30,8 +30,10 @@ class Pi0PolicyWrapper:
     def __init__(self, params, cfg: Pi0Config,
                  tokenizer: Optional[Tokenizer] = None,
                  adapter: Optional[BridgeSimplerAdapter] = None,
-                 noise_std: float = 1.0, seed: int = 0):
-        self.params = params
+                 noise_std: float = 1.0, seed: int = 0,
+                 quantize: str = "none"):
+        self.quantize = quantize
+        self.params = self._maybe_quantize(params)
         self.cfg = cfg
         self.tok = tokenizer or make_policy_tokenizer(cfg.paligemma.vocab_size)
         # the default adapter must resize to the POLICY's input size
@@ -48,6 +50,15 @@ class Pi0PolicyWrapper:
         self._sample = jax.jit(_sample)
         self.reset()
 
+    def _maybe_quantize(self, params):
+        """Apply the serving-time int8 transform (ops/quant.py) when the
+        wrapper was built with quantize != 'none' — re-applied on every
+        switch_model so checkpoint iteration keeps the serving mode."""
+        if getattr(self, "quantize", "none") in ("int8", "int8_full"):
+            from cover_vla_tpu.ops import quant
+            return jax.jit(quant.quantize_pi0_policy)(params)
+        return params
+
     def reset(self) -> None:
         self._queue: List[np.ndarray] = []
         self.adapter.reset()
@@ -58,7 +69,8 @@ class Pi0PolicyWrapper:
         dir, lerobot safetensors dir/file, torch .pt); params swap only
         after a successful load, then queues/adapter state reset."""
         from cover_vla_tpu.convert.loaders import load_policy_params
-        self.params = load_policy_params(path, self.cfg)
+        self.params = self._maybe_quantize(
+            load_policy_params(path, self.cfg))
         self.reset()
 
     def infer(self, obs: Dict[str, Any]) -> Dict[str, Any]:
@@ -87,9 +99,17 @@ class CoVerPolicyWrapper:
     """The verified engine behind the same RPC verbs. obs additionally may
     carry 'reset_task' to (re)bind the instruction."""
 
-    def __init__(self, engine: CoVerEngine):
+    def __init__(self, engine: CoVerEngine, quantize: str = "none"):
         self.engine = engine
+        self.quantize = quantize
         self.adapter = BridgeSimplerAdapter()
+        if quantize in ("int8", "int8_full"):
+            from cover_vla_tpu.ops import quant
+            engine.policy_params = jax.jit(
+                quant.quantize_pi0_policy)(engine.policy_params)
+            if quantize == "int8_full":
+                engine.verifier_params = jax.jit(
+                    quant.quantize_verifier)(engine.verifier_params)
 
     def reset(self) -> None:
         self.engine.reset(self.engine.original_task)
@@ -109,7 +129,14 @@ class CoVerPolicyWrapper:
                 if isinstance(eng.verifier_params, dict) else None)
         else:
             from cover_vla_tpu.convert.loaders import load_policy_params
-            eng.policy_params = load_policy_params(path, eng.pcfg)
+            pp = load_policy_params(path, eng.pcfg)
+            if getattr(self, "quantize", "none") in ("int8", "int8_full"):
+                # keep the serving mode across checkpoint iteration (the
+                # verifier-switch branch reuses the current — already
+                # quantized — backbone, so only the policy needs re-quant)
+                from cover_vla_tpu.ops import quant
+                pp = jax.jit(quant.quantize_pi0_policy)(pp)
+            eng.policy_params = pp
         self.reset()
 
     def infer(self, obs: Dict[str, Any]) -> Dict[str, Any]:

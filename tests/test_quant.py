@@ -67,7 +67,10 @@ def test_quantized_sample_actions_close_to_bf16():
     params = jax.jit(lambda k: pi0.init_pi0(k, cfg))(jax.random.PRNGKey(0))
     qparams = quant.quantize_pi0_policy(params)
     assert qparams["paligemma"]["layers"]["q"].dtype == jnp.int8
-    assert qparams["vision"] is params["vision"]  # tower untouched
+    assert qparams["vision"]["blocks"]["attn"]["q"]["kernel"].dtype \
+        == jnp.int8
+    qp_novis = quant.quantize_pi0_policy(params, vision=False)
+    assert qp_novis["vision"] is params["vision"]  # tower untouched
 
     rng = np.random.default_rng(3)
     v, w = cfg.vision, cfg.paligemma
@@ -92,6 +95,59 @@ def test_quantized_sample_actions_close_to_bf16():
     rms = np.sqrt((a_bf ** 2).mean()) + 1e-9
     rel = np.abs(a_q - a_bf).max() / rms
     assert rel < 0.15, f"int8 deviation too large: rel {rel:.3f}"
+
+
+def test_quantize_vit_stack_and_verifier_scores():
+    """int8 ViT backbone through the verifier: scores stay close to bf16
+    and the candidate ORDERING — what selection consumes — is preserved
+    on well-separated candidates."""
+    from cover_vla_tpu.configs import tiny_verifier_config
+    from cover_vla_tpu.models import verifier
+    vcfg = tiny_verifier_config()
+    params = jax.jit(lambda k: verifier.init_verifier(k, vcfg,
+                                                      num_members=2))(
+        jax.random.PRNGKey(0))
+    qparams = quant.quantize_verifier(params)
+    blk = qparams["backbone"]["vision"]["blocks"]
+    assert blk["attn"]["q"]["kernel"].dtype == jnp.int8
+    assert blk["attn"]["q"]["scale"].dtype == jnp.float32
+    assert qparams["backbone"]["text"] is params["backbone"]["text"]
+
+    rng = np.random.default_rng(0)
+    v = vcfg.vision
+    img = jnp.asarray(rng.uniform(-1, 1, (1, v.image_size, v.image_size, 3)),
+                      jnp.float32)
+    toks = jnp.asarray(rng.integers(0, 50, (1, vcfg.text.context_length)))
+    N = 4
+    acts = jnp.asarray(rng.uniform(-1, 1, (N, vcfg.history_length,
+                                           vcfg.action_dim)), jnp.float32)
+
+    def scores(p):
+        return np.asarray(verifier.score_actions(p, vcfg, img, toks, acts),
+                          np.float32)
+
+    s_bf, s_q = scores(params), scores(qparams)
+    assert s_q.shape == s_bf.shape and np.isfinite(s_q).all()
+    span = s_bf.max() - s_bf.min() + 1e-9
+    assert np.abs(s_q - s_bf).max() / span < 0.25
+
+
+def test_quantized_vit_forward_close():
+    from cover_vla_tpu.configs import tiny_verifier_config
+    from cover_vla_tpu.models import siglip
+    cfg = tiny_verifier_config().vision
+    params = siglip.init_vit(jax.random.PRNGKey(0), cfg)
+    qparams = quant.quantize_vit_stack(params)
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(-1, 1, (2, cfg.image_size,
+                                          cfg.image_size, 3)), jnp.float32)
+    out = siglip.vit_forward(params, cfg, img)
+    out_q = siglip.vit_forward(qparams, cfg, img)
+    t = np.asarray(out.tokens, np.float32)
+    tq = np.asarray(out_q.tokens, np.float32)
+    rms = float(np.sqrt(t.var())) + 1e-9
+    assert np.isfinite(tq).all()
+    assert np.abs(tq - t).max() / rms < 0.25
 
 
 def test_quantized_fused_forward_runs():
@@ -120,3 +176,36 @@ def test_quantized_fused_forward_runs():
     dev = np.abs(np.asarray(hp, np.float32)
                  - np.asarray(hp_bf, np.float32)).max()
     assert dev / rms < 0.2
+
+
+def test_wrapper_quantize_survives_switch_model(tmp_path):
+    """A wrapper built with quantize='int8' serves off the int8 tree and
+    RE-APPLIES the transform on switch_model, so checkpoint iteration
+    (base_evaluator.py:119-126) keeps the serving mode."""
+    from cover_vla_tpu.convert import checkpoints
+    from cover_vla_tpu.serving.policy_wrapper import Pi0PolicyWrapper
+    cfg = tiny_pi0_config()
+    p1 = pi0.init_pi0(jax.random.PRNGKey(0), cfg)
+    p2 = pi0.init_pi0(jax.random.PRNGKey(9), cfg)
+    ck2 = checkpoints.save_params(str(tmp_path / "ck2"), p2)
+
+    w = Pi0PolicyWrapper(p1, cfg, quantize="int8")
+    assert w.params["paligemma"]["layers"]["q"].dtype == jnp.int8
+    w.switch_model(ck2)
+    assert w.params["paligemma"]["layers"]["q"].dtype == jnp.int8
+    # int8-quantized p2, not p1: the scales must have switched away from
+    # p1's (exact equality vs in-memory p2 doesn't hold — the checkpoint
+    # round-trip casts dtypes before quantization)
+    s_after = np.asarray(
+        w.params["vision"]["blocks"]["attn"]["q"]["scale"], np.float32)
+    s_p1 = np.asarray(quant.quantize_pi0_policy(p1)
+                      ["vision"]["blocks"]["attn"]["q"]["scale"], np.float32)
+    assert np.abs(s_after - s_p1).max() > 1e-6
+
+    rng = np.random.default_rng(0)
+    eef = np.array([0.1, 0.0, 0.2, 1.0, 0.0, 0.0, 0.0, 0.6], np.float64)
+    out = w.infer({
+        "image": rng.integers(0, 255, (256, 256, 3), dtype=np.uint8),
+        "state": {"agent": {"eef_pos": eef}},
+        "task": "pick up the block"})
+    assert np.isfinite(np.asarray(out["actions"])).all()
