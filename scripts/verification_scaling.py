@@ -281,16 +281,18 @@ def cmd_rankdata(args):
         from cover_vla_tpu.eval.benchmark import TASK_INSTRUCTIONS
         instr = TASK_INSTRUCTIONS.get(TASK, TASK.replace("_", " "))
         vt, _ = vtok.encode_batch([instr], vcfg.text.context_length)
-        score_one = jax.jit(lambda img, tr: _verifier.score_actions(
-            dp, vcfg, _verifier_image(img, vcfg.vision.image_size),
-            vt, tr))
+        # one batched dispatch for all envs (a per-env loop pays the
+        # ~35 ms tunnel latency E times per chunk boundary)
+        score_batch = jax.jit(lambda imgs, trs: jax.vmap(
+            lambda img, tr: _verifier.score_actions(
+                dp, vcfg, _verifier_image(img, vcfg.vision.image_size),
+                vt, tr))(imgs, trs))
 
         def dagger_score(envs, proposal):
-            return np.stack([
-                np.asarray(score_one(jnp.asarray(envs[e].render(),
-                                                 jnp.uint8),
-                                     proposal.trajectories[e]))
-                for e in range(len(envs))])
+            imgs = jnp.asarray(np.stack([env.render() for env in envs]),
+                               jnp.uint8)
+            return np.asarray(score_batch(imgs,
+                                          proposal.trajectories))
 
     engine = BatchedCoVerEngine(
         pp, None, pcfg, vcfg, ccfg, num_episodes=E, stats=stats,
@@ -348,7 +350,7 @@ def cmd_rankdata(args):
             print(f"  rankdata ep {ep_done}/{args.episodes}: "
                   f"{len(frames)} states ({time.time() - t0:.0f}s)")
     np.savez_compressed(
-        os.path.join(ART_DIR, "rankdata.npz"),
+        os.path.join(ART_DIR, args.out),
         frames=np.stack(frames), trajs=np.stack(trajs),
         quals=np.stack(quals), positions=np.stack(positions))
     q = np.stack(quals)
@@ -527,8 +529,13 @@ def cmd_train_verifier(args):
     from cover_vla_tpu.eval.benchmark import TASK_INSTRUCTIONS
 
     pcfg, vcfg = experiment_configs()
-    rd = np.load(os.path.join(ART_DIR, "rankdata.npz"))
-    frames, trajs, quals = rd["frames"], rd["trajs"], rd["quals"]
+    parts = [np.load(os.path.join(ART_DIR, name)) for name in args.data]
+    frames = np.concatenate([p["frames"] for p in parts])
+    trajs = np.concatenate([p["trajs"] for p in parts])
+    quals = np.concatenate([p["quals"] for p in parts])
+    if len(parts) > 1:
+        print(f"verifier rankdata: concatenated {len(parts)} files "
+              f"{list(args.data)} -> {len(frames)} states")
     # keep states whose candidates actually differ in outcome — ranking is
     # undefined where every candidate makes identical progress
     spread = quals.max(1) - quals.min(1)
@@ -1113,6 +1120,10 @@ def main():
                     help="verifier params pkl; its argmax drives execution "
                          "with prob --dagger-frac (DAgger round 2)")
     rk.add_argument("--dagger-frac", type=float, default=0.5)
+    rk.add_argument("--out", default="rankdata.npz",
+                    help="output npz name under the artifact dir (use a "
+                         "distinct name for a DAgger round, then pass both "
+                         "files to train_verifier --data)")
     rk.set_defaults(fn=cmd_rankdata)
 
     pb = sub.add_parser("pretrain_backbone")
@@ -1122,6 +1133,9 @@ def main():
     pb.set_defaults(fn=cmd_pretrain_backbone)
 
     v = sub.add_parser("train_verifier")
+    v.add_argument("--data", nargs="*", default=["rankdata.npz"],
+                   help="rankdata npz name(s) under the artifact dir, "
+                        "concatenated (base + DAgger rounds)")
     v.add_argument("--steps", type=int, default=4000)
     v.add_argument("--batch", type=int, default=24)
     v.add_argument("--lr", type=float, default=1e-3)
