@@ -20,16 +20,51 @@ import numpy as np
 from cover_vla_tpu.eval.benchmark import TASK_INSTRUCTIONS
 
 
+# Appearance variants keyed by task name — the cartoon of the reference's
+# custom OOD scenes (SURVEY §2.6: unseen objects redbull/zucchini/tennis,
+# unseen lighting; ManiSkill2 custom_scenes/put_on_in_scene.py:455-620).
+# Kinematics/success logic are IDENTICAL across variants; only the rendered
+# appearance (object/target color+size, background level) shifts, so a
+# policy/verifier trained on the ID look faces a pure visual-domain shift.
+# ID tasks are absent from this table and keep the exact default rendering
+# (trained artifacts depend on those frame bytes).
+_DEFAULT_APPEARANCE = {
+    "bg": 64,
+    "target_color": (0, 160, 0), "target_r": 14,
+    "obj_color": (200, 60, 60), "obj_r": 8,
+    "ee_color": (60, 60, 220), "ee_r": 5,
+}
+TASK_APPEARANCES = {
+    # unseen object: gray-silver can, smaller than the carrot
+    "widowx_redbull_on_plate": {
+        "obj_color": (185, 185, 195), "obj_r": 6},
+    # unseen object: dark-green zucchini, larger; unseen purple towel
+    "widowx_zucchini_on_towel": {
+        "obj_color": (80, 135, 45), "obj_r": 11,
+        "target_color": (150, 110, 190), "target_r": 16},
+    # unseen object: yellow ball; unseen brown basket
+    "widowx_tennis_ball_in_basket": {
+        "obj_color": (190, 205, 70), "obj_r": 6,
+        "target_color": (120, 80, 40), "target_r": 16},
+    # same objects, brighter scene
+    "widowx_carrot_on_plate_unseen_lighting": {"bg": 112},
+}
+
+
 class FakeWidowXEnv:
     """Deterministic scripted env with the SIMPLER observation surface."""
 
     def __init__(self, task_name: str, max_steps: int = 60,
-                 success_radius: float = 0.05):
+                 success_radius: float = 0.05,
+                 appearance: Optional[Dict] = None):
         self.task_name = task_name
         self.instruction = TASK_INSTRUCTIONS.get(
             task_name, task_name.replace("_", " "))
         self.max_steps = max_steps
         self.success_radius = success_radius
+        self.appearance = dict(_DEFAULT_APPEARANCE)
+        self.appearance.update(TASK_APPEARANCES.get(task_name, {}))
+        self.appearance.update(appearance or {})
         self._rng = np.random.default_rng(0)
 
     # gym surface -----------------------------------------------------------
@@ -97,7 +132,8 @@ class FakeWidowXEnv:
 
     def _frame(self) -> np.ndarray:
         """A deterministic 256x256 rendering: background + object + target."""
-        img = np.full((256, 256, 3), 64, np.uint8)
+        ap = self.appearance
+        img = np.full((256, 256, 3), ap["bg"], np.uint8)
 
         def blob(center_xy, color, r=10):
             cx = int(128 + center_xy[0] * 400)
@@ -106,9 +142,9 @@ class FakeWidowXEnv:
             x0, x1 = max(0, cx - r), min(256, cx + r)
             img[y0:y1, x0:x1] = color
 
-        blob(self._target[:2], (0, 160, 0), r=14)
-        blob(self._obj[:2], (200, 60, 60), r=8)
-        blob(self._ee[:2], (60, 60, 220), r=5)
+        blob(self._target[:2], ap["target_color"], r=ap["target_r"])
+        blob(self._obj[:2], ap["obj_color"], r=ap["obj_r"])
+        blob(self._ee[:2], ap["ee_color"], r=ap["ee_r"])
         return img
 
 

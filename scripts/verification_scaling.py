@@ -41,7 +41,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-ART_DIR = os.path.join(REPO, "experiments", "verification_scaling")
+# override for smoke tests (keeps the committed artifacts untouched)
+ART_DIR = os.environ.get(
+    "VS_ART_DIR", os.path.join(REPO, "experiments", "verification_scaling"))
 TASK = "widowx_carrot_on_plate"
 MAX_ENV_STEPS = 60
 
@@ -365,6 +367,48 @@ def cmd_rankdata(args):
 # ---------------------------------------------------------------------------
 
 
+def _synth_localisation_frames(n: int, seed: int = 5, id_frac: float = 0.25):
+    """Domain-randomized synthetic localisation frames: random scene states
+    rendered under randomized appearances (object/target colors+sizes,
+    background level), labelled with the privileged positions. The breadth
+    stand-in for SigLIP2's pretraining corpus: a tower pretrained on these
+    can localise objects whose specific appearance it never saw — the
+    capability the OOD appearance variants (fake_env.TASK_APPEARANCES,
+    the cartoon of the reference's unseen-object scenes) require of the
+    frozen backbone. `id_frac` of the frames keep the exact ID look."""
+    from cover_vla_tpu.eval.fake_env import FakeWidowXEnv
+    rng = np.random.default_rng(seed)
+    frames = np.empty((n, 256, 256, 3), np.uint8)
+    positions = np.empty((n, 11), np.float32)
+    for i in range(n):
+        ap = None
+        if rng.random() >= id_frac:
+            ap = {
+                "bg": int(rng.integers(40, 130)),
+                "obj_color": tuple(int(c) for c in rng.integers(40, 235, 3)),
+                "obj_r": int(rng.integers(5, 12)),
+                "target_color": tuple(
+                    int(c) for c in rng.integers(40, 235, 3)),
+                "target_r": int(rng.integers(12, 18)),
+            }
+        env = FakeWidowXEnv("widowx_carrot_on_plate", appearance=ap)
+        env.reset(seed=int(rng.integers(1 << 31)))
+        # random episode phase: scattered ee, sometimes mid-carry
+        env._ee = rng.uniform([-0.16, -0.16, 0.0], [0.16, 0.16, 0.2])
+        env._obj = rng.uniform([-0.12, -0.12, 0.02], [0.12, 0.12, 0.02])
+        env._target = rng.uniform([-0.15, -0.15, 0.02],
+                                  [0.15, 0.15, 0.02])
+        if rng.random() < 0.35:
+            env._grasped = True
+            env._obj = env._ee.copy()
+            env._gripper = 0.1
+        frames[i] = env.render()
+        positions[i] = np.concatenate(
+            [env._ee, env._obj, env._target,
+             [float(env._grasped), float(env._gripper)]])
+    return frames, positions
+
+
 def cmd_pretrain_backbone(args):
     """Pretrain the verifier VISION tower on the collected rankdata frames
     to regress the privileged scene geometry (ee/obj/target positions +
@@ -384,8 +428,14 @@ def cmd_pretrain_backbone(args):
     from cover_vla_tpu.models import verifier as _verifier
 
     pcfg, vcfg = experiment_configs()
-    rd = np.load(os.path.join(ART_DIR, "rankdata.npz"))
-    frames, positions = rd["frames"], rd["positions"]
+    if args.synthetic:
+        frames, positions = _synth_localisation_frames(
+            args.synthetic, id_frac=args.id_frac)
+        print(f"pretrain: {args.synthetic} domain-randomized synthetic "
+              f"frames (id_frac={args.id_frac})")
+    else:
+        rd = np.load(os.path.join(ART_DIR, "rankdata.npz"))
+        frames, positions = rd["frames"], rd["positions"]
     n = len(frames)
     # targets: xy of the three blobs (world units, ~N(0, 0.1)) + grasped
     targets = np.concatenate([
@@ -548,6 +598,19 @@ def cmd_train_verifier(args):
     instr = TASK_INSTRUCTIONS.get(TASK, TASK.replace("_", " "))
     variants = [instr] + _task_rephrases(instr, 7) if args.rephrases \
         else [instr]
+    if args.cross_task_text:
+        # text breadth: train under every widowx-task instruction (+ two
+        # rephrases each). The fake tasks are semantically one task (put
+        # obj on target), so instruction-invariant geometric scoring is
+        # the correct grounding — and the text tower learns sane
+        # embeddings for the OOD instructions ("put redbull can on
+        # plate") it will be scored under at OOD eval time, the cartoon
+        # of SigLIP2's broad text coverage.
+        extra = []
+        for t, ins in TASK_INSTRUCTIONS.items():
+            if t.startswith("widowx"):
+                extra += [ins] + _task_rephrases(ins, 2)
+        variants += [v for v in dict.fromkeys(extra) if v not in variants]
     vt_all, _ = tok.encode_batch(variants, vcfg.text.context_length)
     vt = vt_all[:1]                       # original instruction (row 0)
     print(f"  verifier instruction variants: {len(variants)}")
@@ -781,7 +844,8 @@ def oracle_score_factory(envs):
 
 def run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
              mode: str, n_samples: int, trials: int, n_parallel: int,
-             seed: int, out_dir=None, n_rephrases: int = 1):
+             seed: int, out_dir=None, n_rephrases: int = 1,
+             task: str = TASK):
     from cover_vla_tpu.configs import CoVerConfig
     from cover_vla_tpu.eval.evaluator import (
         EvalConfig, evaluate_suite_batched)
@@ -811,7 +875,7 @@ def run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
             selection=mode, gripper_vote=(mode == "verifier"),
             max_history=vcfg.history_length - pcfg.chunk_size)
         score_fn_factory = None
-    ecfg = EvalConfig(task_suite=TASK, num_trials_per_task=trials,
+    ecfg = EvalConfig(task_suite=task, num_trials_per_task=trials,
                       max_steps=MAX_ENV_STEPS, seed=1000, seed_period=10_000)
     out = evaluate_suite_batched(
         policy_params, verifier_params, pcfg, vcfg, ccfg, ecfg,
@@ -822,16 +886,19 @@ def run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
         policy_tokenizer=make_policy_tokenizer(pcfg.paligemma.vocab_size),
         verifier_tokenizer=make_verifier_tokenizer(vcfg.text.vocab_size),
         out_dir=out_dir, score_fn_factory=score_fn_factory)
-    task_stats = out["summary"]["per_task"][TASK]
+    task_stats = out["summary"]["per_task"][task]
     succ = [e["success"] for e in task_stats["per_episode"]]
     k, n = int(np.sum(succ)), len(succ)
     lo, hi = wilson_ci(k, n)
-    return {"mode": mode, "n_samples": n_samples,
+    cell = {"mode": mode, "n_samples": n_samples,
             "n_rephrases": n_rephrases, "successes": k,
             "episodes": n, "success_rate": k / n,
             "ci95": [round(lo, 4), round(hi, 4)],
             "mean_steps": task_stats["mean_steps"],
             "actions_per_sec": round(out["actions_per_sec"], 1)}
+    if task != TASK:
+        cell["task"] = task
+    return cell
 
 
 # (mode, N samples per rephrase, K rephrases). The K=8 cells mirror the
@@ -844,6 +911,15 @@ GRID = [("first", 1, 1), ("random", 5, 1), ("random", 16, 1),
         ("random", 5, 8), ("verifier", 5, 8), ("verifier", 16, 8)]
 
 ORACLE_NS = (5, 16, 40, 80)
+
+# OOD appearance variants (fake_env.TASK_APPEARANCES — the cartoon of the
+# reference's unseen-object/lighting scenes): policy + verifier trained ONLY
+# on the ID task face a visual-domain shift. Mirrors the reference's OOD
+# table (README.md:148-155: redbull/zucchini/tennis, verification recovers a
+# degraded policy).
+OOD_TASKS = ("widowx_redbull_on_plate", "widowx_zucchini_on_towel",
+             "widowx_tennis_ball_in_basket")
+OOD_MODES = (("first", 1), ("random", 16), ("verifier", 16), ("oracle", 16))
 
 
 def cmd_eval(args):
@@ -914,10 +990,44 @@ def cmd_eval(args):
                   f"[{cell['ci95'][0]:.2f},{cell['ci95'][1]:.2f}] "
                   f"({cell['episodes']} eps, {cell['wall_s']}s)")
 
+    # OOD cells: same trained policy/verifier, appearance-shifted tasks
+    ood_cells = []
+    res_path = os.path.join(ART_DIR, "results.json")
+    if args.merge and os.path.exists(res_path):
+        with open(res_path) as f:
+            old_ood = json.load(f).get("ood_grid", [])
+        if args.skip_existing:
+            ood_cells = list(old_ood)   # run only cells not yet present
+        else:                           # re-run the selected modes
+            ood_cells = [c for c in old_ood
+                         if args.modes and c["mode"] not in args.modes]
+    ood_have = {(c["task"], c["mode"], c["n_samples"]) for c in ood_cells}
+    if args.ood:
+        for task in OOD_TASKS:
+            for mode, n_samples in OOD_MODES:
+                if args.modes and mode not in args.modes:
+                    continue
+                if (task, mode, n_samples) in ood_have:
+                    continue
+                t0 = time.time()
+                short = task.replace("widowx_", "")
+                cell = run_cell(
+                    policy_params, verifier_params, pcfg, vcfg, stats,
+                    mode, n_samples, trials=args.trials,
+                    n_parallel=args.n_parallel, seed=7, task=task,
+                    out_dir=os.path.join(ART_DIR, "episodes",
+                                         f"ood_{short}_{mode}_N{n_samples}"))
+                cell["task"] = task
+                cell["wall_s"] = round(time.time() - t0, 1)
+                ood_cells.append(cell)
+                print(f"  OOD {short:28s} {mode:9s} N={n_samples:3d}: "
+                      f"{cell['success_rate']:.2f} "
+                      f"[{cell['ci95'][0]:.2f},{cell['ci95'][1]:.2f}] "
+                      f"({cell['episodes']} eps, {cell['wall_s']}s)")
+
     # instruction-switch stats for the rephrase-axis cell (the analyzer's
     # view of stage-2 language selection live through the engine)
     switch = None
-    res_path = os.path.join(ART_DIR, "results.json")
     if args.merge and os.path.exists(res_path):
         with open(res_path) as f:   # keep stats a --skip-existing run
             switch = json.load(f).get("instruction_switch_K8")  # didn't redo
@@ -934,7 +1044,8 @@ def cmd_eval(args):
     with open(os.path.join(ART_DIR, "results.json"), "w") as f:
         json.dump({"grid": cells, "task": TASK,
                    "trials_per_cell": args.trials,
-                   "instruction_switch_K8": switch}, f, indent=1)
+                   "instruction_switch_K8": switch,
+                   "ood_grid": ood_cells}, f, indent=1)
     print("saved results.json (analyzer cross-check ok)")
 
 
@@ -1016,6 +1127,39 @@ def cmd_report(args):
                       f"{sw['episodes']} episodes "
                       f"({100 * sw['switch_rate']:.0f}%); per-instruction "
                       "win counts in results.json."]
+    # OOD appearance variants (the reference's OOD table shape:
+    # README.md:148-155 — unseen objects; verification recovers a degraded
+    # policy)
+    ood = {(c["task"], c["mode"], c["n_samples"]): c
+           for c in res.get("ood_grid", [])}
+    if ood:
+        ood_tasks = sorted({t for t, _, _ in ood})
+        lines += [
+            "", "## OOD appearance variants (unseen object/receptacle "
+            "colors and sizes)", "",
+            "Policy, backbone, and verifier heads are trained ONLY on the"
+            " ID task; these cells shift the rendered appearance"
+            " (`fake_env.TASK_APPEARANCES` — the cartoon of the"
+            " reference's unseen-object scenes) and the instruction.",
+            "",
+            "| task | first (pi0) | random N=16 | verifier N=16 "
+            "| oracle N=16 |", "|---|---|---|---|---|"]
+        for t in ood_tasks:
+            short = t.replace("widowx_", "")
+            lines.append(
+                f"| {short} | {fmt(ood.get((t, 'first', 1)))} "
+                f"| {fmt(ood.get((t, 'random', 16)))} "
+                f"| {fmt(ood.get((t, 'verifier', 16)))} "
+                f"| {fmt(ood.get((t, 'oracle', 16)))} |")
+
+        def _avg(mode, n):
+            cs = [ood.get((t, mode, n)) for t in ood_tasks]
+            cs = [c for c in cs if c]
+            return (f"{100 * np.mean([c['success_rate'] for c in cs]):.0f}%"
+                    if len(cs) == len(ood_tasks) else "—")
+        lines.append(f"| **OOD average** | {_avg('first', 1)} "
+                     f"| {_avg('random', 16)} | {_avg('verifier', 16)} "
+                     f"| {_avg('oracle', 16)} |")
     v16, r16 = cells.get(("verifier", 16, 1)), cells.get(("random", 16, 1))
     o40 = cells.get(("oracle", 40, 1))
     if v16 and r16 and v16["ci95"][0] > r16["ci95"][1]:
@@ -1130,6 +1274,13 @@ def main():
     pb.add_argument("--steps", type=int, default=3000)
     pb.add_argument("--batch", type=int, default=64)
     pb.add_argument("--lr", type=float, default=1e-3)
+    pb.add_argument("--synthetic", type=int, default=16384,
+                    help="pretrain on this many domain-randomized synthetic"
+                         " frames (appearance breadth for the OOD axis);"
+                         " 0 = pretrain on the rankdata frames instead")
+    pb.add_argument("--id-frac", type=float, default=0.25,
+                    help="fraction of synthetic frames keeping the exact"
+                         " ID appearance")
     pb.set_defaults(fn=cmd_pretrain_backbone)
 
     v = sub.add_parser("train_verifier")
@@ -1150,6 +1301,10 @@ def main():
                    default=True,
                    help="train under random instruction variants from the "
                         "vendored rephrase store")
+    v.add_argument("--cross-task-text", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="also train under the other widowx task "
+                        "instructions (text breadth for the OOD axis)")
     v.add_argument("--pretrained", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="init the vision tower from pretrained_vision.pkl "
@@ -1173,6 +1328,9 @@ def main():
                    help="with --merge: keep every existing cell and run "
                         "only grid entries not yet in results.json "
                         "(cheap grid extension from committed artifacts)")
+    e.add_argument("--ood", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="also run the OOD appearance-variant cells")
     e.set_defaults(fn=cmd_eval)
 
     r = sub.add_parser("report")
@@ -1192,6 +1350,13 @@ def main():
                      ["rankdata"],
                      ["pretrain_backbone"],
                      ["train_verifier"],
+                     # DAgger round: recollect ranking states under the
+                     # round-1 verifier's own selection, retrain on both
+                     ["rankdata", "--dagger-params",
+                      os.path.join(ART_DIR, "verifier_params.pkl"),
+                      "--out", "rankdata2.npz"],
+                     ["train_verifier", "--data", "rankdata.npz",
+                      "rankdata2.npz"],
                      ["eval"],
                      ["report"]):
             stage_args = ap.parse_args(argv)
