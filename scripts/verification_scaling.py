@@ -341,9 +341,18 @@ def cmd_rankdata(args):
     adapter = BridgeSimplerAdapter()
     t0 = time.time()
     ep_done = 0
+    arng = np.random.default_rng(777)
     while ep_done < args.episodes:
-        envs = [FakeWidowXEnv(TASK, max_steps=MAX_ENV_STEPS)
-                for _ in range(E)]
+        # --domain-rand: appearance-randomized engine rollouts (the frozen
+        # ID policy rolled on randomized scenes) so the ranking heads see
+        # appearance breadth — labels stay privileged (chunk_quality)
+        aps = [None] * E
+        if args.domain_rand:
+            aps = [_random_appearance(arng)
+                   if arng.random() >= args.id_frac else None
+                   for _ in range(E)]
+        envs = [FakeWidowXEnv(TASK, max_steps=MAX_ENV_STEPS, appearance=ap)
+                for ap in aps]
         seeds = [50_000 + ep_done + j for j in range(E)]
         evaluate_batched(engine, envs, adapter, max_steps=MAX_ENV_STEPS,
                          seeds=seeds)
@@ -367,6 +376,18 @@ def cmd_rankdata(args):
 # ---------------------------------------------------------------------------
 
 
+def _random_appearance(rng) -> dict:
+    """One random scene appearance (colors/sizes/background) — breadth for
+    the OOD axis; the ee marker is fixed (the arm does not change OOD)."""
+    return {
+        "bg": int(rng.integers(40, 130)),
+        "obj_color": tuple(int(c) for c in rng.integers(40, 235, 3)),
+        "obj_r": int(rng.integers(5, 12)),
+        "target_color": tuple(int(c) for c in rng.integers(40, 235, 3)),
+        "target_r": int(rng.integers(12, 18)),
+    }
+
+
 def _synth_localisation_frames(n: int, seed: int = 5, id_frac: float = 0.25):
     """Domain-randomized synthetic localisation frames: random scene states
     rendered under randomized appearances (object/target colors+sizes,
@@ -383,14 +404,7 @@ def _synth_localisation_frames(n: int, seed: int = 5, id_frac: float = 0.25):
     for i in range(n):
         ap = None
         if rng.random() >= id_frac:
-            ap = {
-                "bg": int(rng.integers(40, 130)),
-                "obj_color": tuple(int(c) for c in rng.integers(40, 235, 3)),
-                "obj_r": int(rng.integers(5, 12)),
-                "target_color": tuple(
-                    int(c) for c in rng.integers(40, 235, 3)),
-                "target_r": int(rng.integers(12, 18)),
-            }
+            ap = _random_appearance(rng)
         env = FakeWidowXEnv("widowx_carrot_on_plate", appearance=ap)
         env.reset(seed=int(rng.integers(1 << 31)))
         # random episode phase: scattered ee, sometimes mid-carry
@@ -444,10 +458,18 @@ def cmd_pretrain_backbone(args):
     print(f"pretrain: {n} frames")
 
     prep = _verifier_preprocess_fn(vcfg)
-    params0 = _verifier.init_verifier(jax.random.PRNGKey(7), vcfg,
-                                      num_members=1)
-    vision = jax.tree_util.tree_map(
-        lambda x: np.asarray(x, np.float32), params0["backbone"]["vision"])
+    if args.init_from:
+        # fine-tune an existing tower (e.g. the ID-pretrained one) under
+        # the randomized appearances: keeps the feature geometry the
+        # ranking heads were tuned against while adding color robustness
+        vision = _load_tree(args.init_from)
+        print(f"  fine-tuning from {args.init_from}")
+    else:
+        params0 = _verifier.init_verifier(jax.random.PRNGKey(7), vcfg,
+                                          num_members=1)
+        vision = jax.tree_util.tree_map(
+            lambda x: np.asarray(x, np.float32),
+            params0["backbone"]["vision"])
     p_dim = vcfg.vision.num_patches * vcfg.vision.width
     kh = jax.random.PRNGKey(8)
     head = {
@@ -1264,6 +1286,12 @@ def main():
                     help="verifier params pkl; its argmax drives execution "
                          "with prob --dagger-frac (DAgger round 2)")
     rk.add_argument("--dagger-frac", type=float, default=0.5)
+    rk.add_argument("--domain-rand", action="store_true",
+                    help="randomize scene appearance per episode "
+                         "(appearance breadth for the verifier heads)")
+    rk.add_argument("--id-frac", type=float, default=0.25,
+                    help="with --domain-rand: fraction of episodes on the "
+                         "exact ID appearance")
     rk.add_argument("--out", default="rankdata.npz",
                     help="output npz name under the artifact dir (use a "
                          "distinct name for a DAgger round, then pass both "
@@ -1271,16 +1299,19 @@ def main():
     rk.set_defaults(fn=cmd_rankdata)
 
     pb = sub.add_parser("pretrain_backbone")
-    pb.add_argument("--steps", type=int, default=3000)
+    pb.add_argument("--steps", type=int, default=20000)
     pb.add_argument("--batch", type=int, default=64)
     pb.add_argument("--lr", type=float, default=1e-3)
-    pb.add_argument("--synthetic", type=int, default=16384,
+    pb.add_argument("--synthetic", type=int, default=32768,
                     help="pretrain on this many domain-randomized synthetic"
                          " frames (appearance breadth for the OOD axis);"
                          " 0 = pretrain on the rankdata frames instead")
     pb.add_argument("--id-frac", type=float, default=0.25,
                     help="fraction of synthetic frames keeping the exact"
                          " ID appearance")
+    pb.add_argument("--init-from", default="",
+                    help="existing vision-tower pkl to fine-tune from "
+                         "instead of a fresh init")
     pb.set_defaults(fn=cmd_pretrain_backbone)
 
     v = sub.add_parser("train_verifier")
