@@ -965,6 +965,8 @@ def cmd_eval(args):
     for mode, n_samples, n_reph in GRID:
         if args.modes and mode not in args.modes:
             continue
+        if args.cells and f"{mode},{n_samples},{n_reph}" not in args.cells:
+            continue
         if (mode, n_samples, n_reph) in have:
             continue
         t0 = time.time()
@@ -997,6 +999,8 @@ def cmd_eval(args):
 
     if args.with_oracle and (not args.modes or 'oracle' in args.modes):
         for n_samples in ORACLE_NS:
+            if args.cells and f"oracle,{n_samples},1" not in args.cells:
+                continue
             if ("oracle", n_samples, 1) in have:
                 continue
             t0 = time.time()
@@ -1353,6 +1357,11 @@ def main():
                    default=True)
     e.add_argument("--modes", nargs="*", default=None,
                    help="restrict to these selection modes")
+    e.add_argument("--cells", nargs="*", default=None,
+                   help="restrict the ID grid to 'mode,N,K' triples "
+                        "(e.g. verifier,16,1) — cheap re-measurement of "
+                        "specific cells after a checkpoint change; OOD "
+                        "cells are still governed by --modes/--ood")
     e.add_argument("--merge", action="store_true",
                    help="merge with existing results.json cells")
     e.add_argument("--skip-existing", action="store_true",
