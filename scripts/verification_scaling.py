@@ -666,6 +666,13 @@ def cmd_train_verifier(args):
         params["backbone"] = dict(params["backbone"])
         params["backbone"]["vision"] = _load_tree(pv_path)
         print(f"  loaded pretrained vision tower ({pv_path})")
+    if args.init_params:
+        # warm start: fine-tune an existing verifier (e.g. the committed
+        # ID verifier extended with domain-randomized ranking data)
+        # instead of training heads from scratch
+        params = _load_tree(os.path.join(ART_DIR, args.init_params))
+        pretrained = True
+        print(f"  warm start from {args.init_params}")
     freeze = {"auto": pretrained, "true": True,
               "false": False}[args.freeze_backbone]
     print(f"  freeze_backbone={freeze} (pretrained={pretrained})")
@@ -825,9 +832,9 @@ def cmd_train_verifier(args):
                   f"rank_acc={float(metrics['rank_acc']):.3f} "
                   f"val_regret={vr:.3f} val_top1={va:.3f} "
                   f"({time.time() - t0:.0f}s)")
-    _save_tree(os.path.join(ART_DIR, "verifier_params.pkl"),
+    _save_tree(os.path.join(ART_DIR, args.out),
                best[1] if best[1] is not None else state.params)
-    print(f"saved verifier_params.pkl (best val_regret={best[0]:.3f})")
+    print(f"saved {args.out} (best val_regret={best[0]:.3f})")
 
 
 # ---------------------------------------------------------------------------
@@ -949,7 +956,14 @@ def cmd_eval(args):
     _, stats = _load_demos()
     policy_params = _load_tree(os.path.join(ART_DIR, "policy_params.pkl"))
     verifier_params = _load_tree(
-        os.path.join(ART_DIR, "verifier_params.pkl"))
+        os.path.join(ART_DIR, args.verifier_params))
+
+    # verifier cells measured with a non-default checkpoint are recorded
+    # under --record-mode (e.g. "verifier_dr") so they merge alongside —
+    # not over — the committed verifier rows
+    def rec_mode(mode):
+        return args.record_mode if (args.record_mode
+                                    and mode == "verifier") else mode
 
     cells = []
     if args.merge and os.path.exists(os.path.join(ART_DIR, "results.json")):
@@ -967,19 +981,20 @@ def cmd_eval(args):
             continue
         if args.cells and f"{mode},{n_samples},{n_reph}" not in args.cells:
             continue
-        if (mode, n_samples, n_reph) in have:
+        if (rec_mode(mode), n_samples, n_reph) in have:
             continue
         t0 = time.time()
         suffix = f"_K{n_reph}" if n_reph > 1 else ""
         out_dir = os.path.join(ART_DIR, "episodes",
-                               f"{mode}_N{n_samples}{suffix}")
+                               f"{rec_mode(mode)}_N{n_samples}{suffix}")
         cell = run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
                         mode, n_samples, trials=args.trials,
                         n_parallel=args.n_parallel, seed=7,
                         out_dir=out_dir, n_rephrases=n_reph)
+        cell["mode"] = rec_mode(mode)
         cell["wall_s"] = round(time.time() - t0, 1)
         cells.append(cell)
-        print(f"  {mode:9s} N={n_samples:3d} K={n_reph}: "
+        print(f"  {cell['mode']:9s} N={n_samples:3d} K={n_reph}: "
               f"{cell['success_rate']:.2f} "
               f"[{cell['ci95'][0]:.2f},{cell['ci95'][1]:.2f}] "
               f"({cell['episodes']} eps, {cell['wall_s']}s)")
@@ -989,7 +1004,7 @@ def cmd_eval(args):
     # episode dir is gitignored and may be stale/absent under --modes)
     v16_dir = os.path.join(ART_DIR, "episodes", "verifier_N16")
     if ((not args.modes or "verifier" in args.modes)
-            and os.path.isdir(v16_dir)):
+            and not args.record_mode and os.path.isdir(v16_dir)):
         from cover_vla_tpu.eval import analyze
         agg = analyze.aggregate(analyze.load_episodes(v16_dir))
         v16 = next(c for c in cells
@@ -1033,7 +1048,7 @@ def cmd_eval(args):
             for mode, n_samples in OOD_MODES:
                 if args.modes and mode not in args.modes:
                     continue
-                if (task, mode, n_samples) in ood_have:
+                if (task, rec_mode(mode), n_samples) in ood_have:
                     continue
                 t0 = time.time()
                 short = task.replace("widowx_", "")
@@ -1041,12 +1056,15 @@ def cmd_eval(args):
                     policy_params, verifier_params, pcfg, vcfg, stats,
                     mode, n_samples, trials=args.trials,
                     n_parallel=args.n_parallel, seed=7, task=task,
-                    out_dir=os.path.join(ART_DIR, "episodes",
-                                         f"ood_{short}_{mode}_N{n_samples}"))
+                    out_dir=os.path.join(
+                        ART_DIR, "episodes",
+                        f"ood_{short}_{rec_mode(mode)}_N{n_samples}"))
+                cell["mode"] = rec_mode(mode)
                 cell["task"] = task
                 cell["wall_s"] = round(time.time() - t0, 1)
                 ood_cells.append(cell)
-                print(f"  OOD {short:28s} {mode:9s} N={n_samples:3d}: "
+                print(f"  OOD {short:28s} {cell['mode']:9s} "
+                      f"N={n_samples:3d}: "
                       f"{cell['success_rate']:.2f} "
                       f"[{cell['ci95'][0]:.2f},{cell['ci95'][1]:.2f}] "
                       f"({cell['episodes']} eps, {cell['wall_s']}s)")
@@ -1160,23 +1178,35 @@ def cmd_report(args):
            for c in res.get("ood_grid", [])}
     if ood:
         ood_tasks = sorted({t for t, _, _ in ood})
+        has_dr = any(m == "verifier_dr" for _, m, _ in ood)
+        dr_hdr = "| verifier_dr N=16 " if has_dr else ""
         lines += [
             "", "## OOD appearance variants (unseen object/receptacle "
             "colors and sizes)", "",
             "Policy, backbone, and verifier heads are trained ONLY on the"
             " ID task; these cells shift the rendered appearance"
             " (`fake_env.TASK_APPEARANCES` — the cartoon of the"
-            " reference's unseen-object scenes) and the instruction.",
+            " reference's unseen-object scenes) and the instruction."
+            + (" The `verifier_dr` column is the same verifier fine-tuned"
+               " on domain-randomized ranking data (`rankdata"
+               " --domain-rand`, labels still privileged) — the analog of"
+               " the reference verifier's appearance breadth from the"
+               " full bridge corpus + pretrained SigLIP2."
+               if has_dr else ""),
             "",
             "| task | first (pi0) | random N=16 | verifier N=16 "
-            "| oracle N=16 |", "|---|---|---|---|---|"]
+            + dr_hdr + "| oracle N=16 |",
+            "|---|" + "---|" * (4 + int(has_dr))]
         for t in ood_tasks:
             short = t.replace("widowx_", "")
+            dr_col = (f"| {fmt(ood.get((t, 'verifier_dr', 16)))} "
+                      if has_dr else "")
             lines.append(
                 f"| {short} | {fmt(ood.get((t, 'first', 1)))} "
                 f"| {fmt(ood.get((t, 'random', 16)))} "
                 f"| {fmt(ood.get((t, 'verifier', 16)))} "
-                f"| {fmt(ood.get((t, 'oracle', 16)))} |")
+                + dr_col
+                + f"| {fmt(ood.get((t, 'oracle', 16)))} |")
 
         def _avg(mode, n):
             cs = [ood.get((t, mode, n)) for t in ood_tasks]
@@ -1185,7 +1215,8 @@ def cmd_report(args):
                     if len(cs) == len(ood_tasks) else "—")
         lines.append(f"| **OOD average** | {_avg('first', 1)} "
                      f"| {_avg('random', 16)} | {_avg('verifier', 16)} "
-                     f"| {_avg('oracle', 16)} |")
+                     + (f"| {_avg('verifier_dr', 16)} " if has_dr else "")
+                     + f"| {_avg('oracle', 16)} |")
     v16, r16 = cells.get(("verifier", 16, 1)), cells.get(("random", 16, 1))
     o40 = cells.get(("oracle", 40, 1))
     if v16 and r16 and v16["ci95"][0] > r16["ci95"][1]:
@@ -1348,6 +1379,11 @@ def main():
                    choices=["auto", "true", "false"],
                    help="auto = freeze iff the pretrained tower loaded "
                         "(reference semantics: pretrained backbone frozen)")
+    v.add_argument("--init-params", default="",
+                   help="verifier params pkl under the artifact dir to "
+                        "warm-start from (fine-tune) instead of fresh init")
+    v.add_argument("--out", default="verifier_params.pkl",
+                   help="output params pkl name under the artifact dir")
     v.set_defaults(fn=cmd_train_verifier)
 
     e = sub.add_parser("eval")
@@ -1371,6 +1407,13 @@ def main():
     e.add_argument("--ood", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="also run the OOD appearance-variant cells")
+    e.add_argument("--verifier-params", default="verifier_params.pkl",
+                   help="verifier params pkl under the artifact dir")
+    e.add_argument("--record-mode", default=None,
+                   help="record verifier cells under this mode name "
+                        "(measure an alternate checkpoint alongside the "
+                        "committed rows; pair with --merge "
+                        "--skip-existing)")
     e.set_defaults(fn=cmd_eval)
 
     r = sub.add_parser("report")
