@@ -23,29 +23,45 @@ from cover_vla_tpu.eval.benchmark import TASK_INSTRUCTIONS
 # Appearance variants keyed by task name — the cartoon of the reference's
 # custom OOD scenes (SURVEY §2.6: unseen objects redbull/zucchini/tennis,
 # unseen lighting; ManiSkill2 custom_scenes/put_on_in_scene.py:455-620).
-# Kinematics/success logic are IDENTICAL across variants; only the rendered
-# appearance (object/target color+size, background level) shifts, so a
-# policy/verifier trained on the ID look faces a pure visual-domain shift.
+# Kinematics/success logic are IDENTICAL across variants; the rendered
+# appearance shifts along THREE axes: color/size, object GEOMETRY (shape:
+# square/circle/ellipse/triangle/ring — the cartoon of the reference's
+# novel object meshes), and scene clutter (a distractor blob at a random
+# position, never the pick target — the reference's cluttered OOD scenes).
 # ID tasks are absent from this table and keep the exact default rendering
-# (trained artifacts depend on those frame bytes).
+# (trained artifacts depend on those frame bytes): default shapes are
+# "square" with no distractors, which reproduces the pre-round-5 frames
+# byte-for-byte (tests/test_fake_env.py::test_id_frames_byte_stable).
 _DEFAULT_APPEARANCE = {
     "bg": 64,
-    "target_color": (0, 160, 0), "target_r": 14,
-    "obj_color": (200, 60, 60), "obj_r": 8,
+    "target_color": (0, 160, 0), "target_r": 14, "target_shape": "square",
+    "obj_color": (200, 60, 60), "obj_r": 8, "obj_shape": "square",
     "ee_color": (60, 60, 220), "ee_r": 5,
+    "distractors": (),   # ({"color","r","shape"}, ...) placed at reset
 }
 TASK_APPEARANCES = {
-    # unseen object: gray-silver can, smaller than the carrot
+    # unseen object: gray-silver can (tall narrow ellipse), smaller than
+    # the carrot; a dark round distractor (a mug) clutters the scene
     "widowx_redbull_on_plate": {
-        "obj_color": (185, 185, 195), "obj_r": 6},
-    # unseen object: dark-green zucchini, larger; unseen purple towel
+        "obj_color": (185, 185, 195), "obj_r": 6, "obj_shape": "ellipse_v",
+        "distractors": ({"color": (95, 95, 95), "r": 7,
+                         "shape": "circle"},)},
+    # unseen object: dark-green zucchini (long horizontal ellipse), larger;
+    # unseen purple towel; a yellow sponge distractor
     "widowx_zucchini_on_towel": {
-        "obj_color": (80, 135, 45), "obj_r": 11,
-        "target_color": (150, 110, 190), "target_r": 16},
-    # unseen object: yellow ball; unseen brown basket
+        "obj_color": (80, 135, 45), "obj_r": 11, "obj_shape": "ellipse_h",
+        "target_color": (150, 110, 190), "target_r": 16,
+        "distractors": ({"color": (205, 195, 90), "r": 6,
+                         "shape": "square"},)},
+    # unseen object: yellow ball (circle); unseen brown basket rendered as
+    # a RING (annulus — novel receptacle geometry); a pale triangular
+    # distractor (a sock)
     "widowx_tennis_ball_in_basket": {
-        "obj_color": (190, 205, 70), "obj_r": 6,
-        "target_color": (120, 80, 40), "target_r": 16},
+        "obj_color": (190, 205, 70), "obj_r": 6, "obj_shape": "circle",
+        "target_color": (120, 80, 40), "target_r": 16,
+        "target_shape": "ring",
+        "distractors": ({"color": (210, 210, 205), "r": 5,
+                         "shape": "triangle"},)},
     # same objects, brighter scene
     "widowx_carrot_on_plate_unseen_lighting": {"bg": 112},
 }
@@ -76,6 +92,18 @@ class FakeWidowXEnv:
         self._obj = self._rng.uniform([-0.1, -0.1, 0.02], [0.1, 0.1, 0.02])
         self._target = self._rng.uniform([-0.15, -0.15, 0.02],
                                          [0.15, 0.15, 0.02])
+        # distractor clutter: random positions kept clear of the object and
+        # target so the task stays solvable; draws happen only when the
+        # appearance carries distractors, so ID streams consume the same
+        # rng sequence as before (frame-byte and layout stability)
+        self._distractors = []
+        for d in self.appearance["distractors"]:
+            for _ in range(8):   # rejection-sample a clear spot
+                pos = self._rng.uniform([-0.14, -0.14], [0.14, 0.14])
+                if (np.linalg.norm(pos - self._obj[:2]) > 0.07
+                        and np.linalg.norm(pos - self._target[:2]) > 0.08):
+                    break
+            self._distractors.append((pos, d))
         self._gripper = 0.8  # open
         self._grasped = False
         self.episode_stats = {
@@ -131,19 +159,46 @@ class FakeWidowXEnv:
         }
 
     def _frame(self) -> np.ndarray:
-        """A deterministic 256x256 rendering: background + object + target."""
+        """A deterministic 256x256 rendering: background + distractors +
+        target + object + ee. The default "square" shape reproduces the
+        pre-round-5 axis-aligned fill byte-for-byte; the other shapes are
+        the geometry OOD axis (novel object meshes in the reference)."""
         ap = self.appearance
         img = np.full((256, 256, 3), ap["bg"], np.uint8)
 
-        def blob(center_xy, color, r=10):
+        def blob(center_xy, color, r=10, shape="square"):
             cx = int(128 + center_xy[0] * 400)
             cy = int(128 + center_xy[1] * 400)
-            y0, y1 = max(0, cy - r), min(256, cy + r)
-            x0, x1 = max(0, cx - r), min(256, cx + r)
-            img[y0:y1, x0:x1] = color
+            if shape == "square":
+                y0, y1 = max(0, cy - r), min(256, cy + r)
+                x0, x1 = max(0, cx - r), min(256, cx + r)
+                img[y0:y1, x0:x1] = color
+                return
+            rx, ry = {
+                "circle": (r, r),
+                "ring": (r, r),
+                "ellipse_v": (max(2, int(r * 0.55)), int(r * 1.5)),
+                "ellipse_h": (int(r * 1.5), max(2, int(r * 0.55))),
+                "triangle": (r, r),
+            }[shape]
+            yy, xx = np.mgrid[0:256, 0:256]
+            dx, dy = xx - cx, yy - cy
+            if shape == "triangle":       # upright isoceles triangle
+                mask = (dy >= -r) & (dy <= r) & \
+                       (np.abs(dx) <= (dy + r) * 0.6)
+            else:
+                rho = (dx / rx) ** 2 + (dy / ry) ** 2
+                mask = rho <= 1.0
+                if shape == "ring":       # annulus: hollow receptacle
+                    mask &= rho >= 0.45
+            img[mask] = color
 
-        blob(self._target[:2], ap["target_color"], r=ap["target_r"])
-        blob(self._obj[:2], ap["obj_color"], r=ap["obj_r"])
+        for pos, d in getattr(self, "_distractors", []):
+            blob(pos, d["color"], r=d["r"], shape=d.get("shape", "square"))
+        blob(self._target[:2], ap["target_color"], r=ap["target_r"],
+             shape=ap["target_shape"])
+        blob(self._obj[:2], ap["obj_color"], r=ap["obj_r"],
+             shape=ap["obj_shape"])
         blob(self._ee[:2], ap["ee_color"], r=ap["ee_r"])
         return img
 

@@ -376,15 +376,28 @@ def cmd_rankdata(args):
 # ---------------------------------------------------------------------------
 
 
+_OBJ_SHAPES = ("square", "circle", "ellipse_v", "ellipse_h", "triangle")
+_TARGET_SHAPES = ("square", "circle", "ring")
+
+
 def _random_appearance(rng) -> dict:
-    """One random scene appearance (colors/sizes/background) — breadth for
-    the OOD axis; the ee marker is fixed (the arm does not change OOD)."""
+    """One random scene appearance — breadth for the OOD axes: colors and
+    sizes, object/receptacle GEOMETRY (the round-5 shape axis matching
+    fake_env's novel-object shapes), and clutter (0-2 distractor blobs).
+    The ee marker is fixed (the arm does not change OOD)."""
     return {
         "bg": int(rng.integers(40, 130)),
         "obj_color": tuple(int(c) for c in rng.integers(40, 235, 3)),
         "obj_r": int(rng.integers(5, 12)),
+        "obj_shape": _OBJ_SHAPES[rng.integers(len(_OBJ_SHAPES))],
         "target_color": tuple(int(c) for c in rng.integers(40, 235, 3)),
         "target_r": int(rng.integers(12, 18)),
+        "target_shape": _TARGET_SHAPES[rng.integers(len(_TARGET_SHAPES))],
+        "distractors": tuple(
+            {"color": tuple(int(c) for c in rng.integers(40, 235, 3)),
+             "r": int(rng.integers(4, 9)),
+             "shape": _OBJ_SHAPES[rng.integers(len(_OBJ_SHAPES))]}
+            for _ in range(rng.integers(0, 3))),
     }
 
 
@@ -658,21 +671,25 @@ def cmd_train_verifier(args):
         lambda x: x.astype(jnp.float32)
         if jnp.issubdtype(x.dtype, jnp.floating) else x,
         params["backbone"])
-    # in-domain pretrained vision tower (stage pretrain_backbone) — the
-    # synthetic SigLIP2 stand-in; reference semantics then FREEZE it
-    pv_path = os.path.join(ART_DIR, "pretrained_vision.pkl")
-    pretrained = args.pretrained and os.path.exists(pv_path)
-    if pretrained:
-        params["backbone"] = dict(params["backbone"])
-        params["backbone"]["vision"] = _load_tree(pv_path)
-        print(f"  loaded pretrained vision tower ({pv_path})")
     if args.init_params:
         # warm start: fine-tune an existing verifier (e.g. the committed
         # ID verifier extended with domain-randomized ranking data)
-        # instead of training heads from scratch
+        # instead of training heads from scratch. The checkpoint's own
+        # backbone ships inside the tree, so pretrained_vision.pkl is NOT
+        # loaded; freeze-backbone auto treats the warm-started tower as
+        # pretrained (pass --freeze-backbone false to unfreeze it)
         params = _load_tree(os.path.join(ART_DIR, args.init_params))
         pretrained = True
         print(f"  warm start from {args.init_params}")
+    else:
+        # in-domain pretrained vision tower (stage pretrain_backbone) — the
+        # synthetic SigLIP2 stand-in; reference semantics then FREEZE it
+        pv_path = os.path.join(ART_DIR, "pretrained_vision.pkl")
+        pretrained = args.pretrained and os.path.exists(pv_path)
+        if pretrained:
+            params["backbone"] = dict(params["backbone"])
+            params["backbone"]["vision"] = _load_tree(pv_path)
+            print(f"  loaded pretrained vision tower ({pv_path})")
     freeze = {"auto": pretrained, "true": True,
               "false": False}[args.freeze_backbone]
     print(f"  freeze_backbone={freeze} (pretrained={pretrained})")
@@ -965,6 +982,11 @@ def cmd_eval(args):
         return args.record_mode if (args.record_mode
                                     and mode == "verifier") else mode
 
+    # modes that will be (re)recorded this run: under --record-mode the
+    # verifier cells land under the alternate name, so the stale-row filter
+    # must drop THAT name — dropping plain "verifier" rows here once
+    # silently erased the committed baseline (ADVICE r4)
+    rerun_modes = {rec_mode(m) for m in (args.modes or [])}
     cells = []
     if args.merge and os.path.exists(os.path.join(ART_DIR, "results.json")):
         with open(os.path.join(ART_DIR, "results.json")) as f:
@@ -973,7 +995,7 @@ def cmd_eval(args):
             cells = list(old)   # keep everything; run only new grid cells
         else:
             cells = [c for c in old
-                     if args.modes and c["mode"] not in args.modes]
+                     if rerun_modes and c["mode"] not in rerun_modes]
     have = {(c["mode"], c["n_samples"], c.get("n_rephrases", 1))
             for c in cells}
     for mode, n_samples, n_reph in GRID:
@@ -1041,7 +1063,7 @@ def cmd_eval(args):
             ood_cells = list(old_ood)   # run only cells not yet present
         else:                           # re-run the selected modes
             ood_cells = [c for c in old_ood
-                         if args.modes and c["mode"] not in args.modes]
+                         if rerun_modes and c["mode"] not in rerun_modes]
     ood_have = {(c["task"], c["mode"], c["n_samples"]) for c in ood_cells}
     if args.ood:
         for task in OOD_TASKS:
@@ -1077,7 +1099,7 @@ def cmd_eval(args):
             switch = json.load(f).get("instruction_switch_K8")  # didn't redo
     k8_dir = os.path.join(ART_DIR, "episodes", "verifier_N5_K8")
     if ((not args.modes or "verifier" in args.modes)
-            and os.path.isdir(k8_dir)):
+            and not args.record_mode and os.path.isdir(k8_dir)):
         from cover_vla_tpu.eval import analyze
         switch = analyze.instruction_switch_stats(
             analyze.load_episodes(k8_dir))
@@ -1135,7 +1157,11 @@ def cmd_report(args):
         "| selection | " + " | ".join(f"N={n}" for n in ns) + " |",
         "|---|" + "---|" * len(ns),
     ]
-    for mode in ("first", "random", "verifier", "oracle"):
+    # render every mode present in the grid — alternate-checkpoint rows
+    # (e.g. verifier_dr, recorded via --record-mode) slot in after verifier
+    fixed = ["first", "random", "verifier", "oracle"]
+    extra = sorted({c["mode"] for c in res["grid"]} - set(fixed))
+    for mode in fixed[:3] + extra + fixed[3:]:
         row = [fmt(cells.get((mode, n, 1)) or
                    (cells.get((mode, 1, 1)) if mode == "first" else None))
                for n in ns]
@@ -1217,6 +1243,33 @@ def cmd_report(args):
                      f"| {_avg('random', 16)} | {_avg('verifier', 16)} "
                      + (f"| {_avg('verifier_dr', 16)} " if has_dr else "")
                      + f"| {_avg('oracle', 16)} |")
+        # honesty clause: name every committed arm that scores BELOW the
+        # no-selection baseline anywhere (an arm that hurts must be
+        # documented, not silently carried in results.json)
+        harm = []
+        for t in ood_tasks:
+            base = ood.get((t, "first", 1))
+            for m in {m for _, m, _ in ood} - {"first", "random", "oracle"}:
+                c = ood.get((t, m, 16))
+                if base and c and c["success_rate"] < base["success_rate"]:
+                    sep = ("non-overlapping CIs"
+                           if c["ci95"][1] < base["ci95"][0]
+                           else "overlapping CIs")
+                    harm.append(
+                        f"`{m}` on {t.replace('widowx_', '')} "
+                        f"({100 * c['success_rate']:.0f}% vs baseline "
+                        f"{100 * base['success_rate']:.0f}%, {sep})")
+        if harm:
+            lines += [
+                "", "**Active harm (known negative):** " + "; ".join(harm)
+                + ". A selection arm scoring below candidate-0 execution"
+                " means its argmax is anti-correlated with progress on"
+                " that appearance — worse than not verifying at all. These"
+                " cells are kept in `results.json` as an honest record;"
+                " the arm is NOT a recommended configuration, and the CI"
+                " regression suite forbids this class of regression for"
+                " the default `verifier` arm"
+                " (`tests/test_verification_scaling.py`)."]
     v16, r16 = cells.get(("verifier", 16, 1)), cells.get(("random", 16, 1))
     o40 = cells.get(("oracle", 40, 1))
     if v16 and r16 and v16["ci95"][0] > r16["ci95"][1]:
