@@ -181,7 +181,14 @@ class FakeWidowXEnv:
                 "ellipse_h": (int(r * 1.5), max(2, int(r * 0.55))),
                 "triangle": (r, r),
             }[shape]
-            yy, xx = np.mgrid[0:256, 0:256]
+            # bounding-box mask (a full-frame grid per blob is ~100x the
+            # pixels and dominates synthetic-frame generation time)
+            rr = max(rx, ry)
+            y0, y1 = max(0, cy - rr), min(256, cy + rr + 1)
+            x0, x1 = max(0, cx - rr), min(256, cx + rr + 1)
+            if y0 >= y1 or x0 >= x1:
+                return
+            yy, xx = np.mgrid[y0:y1, x0:x1]
             dx, dy = xx - cx, yy - cy
             if shape == "triangle":       # upright isoceles triangle
                 mask = (dy >= -r) & (dy <= r) & \
@@ -191,7 +198,7 @@ class FakeWidowXEnv:
                 mask = rho <= 1.0
                 if shape == "ring":       # annulus: hollow receptacle
                     mask &= rho >= 0.45
-            img[mask] = color
+            img[y0:y1, x0:x1][mask] = color
 
         for pos, d in getattr(self, "_distractors", []):
             blob(pos, d["color"], r=d["r"], shape=d.get("shape", "square"))

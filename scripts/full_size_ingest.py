@@ -594,12 +594,76 @@ def cmd_compare(args):
     print(json.dumps(cmp, indent=1))
 
 
+# ---------------------------------------------------------------------------
+# fetch: the real-weights path (one command once the environment has egress)
+# ---------------------------------------------------------------------------
+
+# The published checkpoints this framework ingests (reference README.md:
+# 69-74 and the eval protocol at :136). File layouts match what `generate`
+# fabricates, so `run` consumes either source unchanged.
+HUB_ARTIFACTS = [
+    # (hub repo, filename-in-repo, destination name under --dir, what)
+    ("juexzz/INTACT-pi0-finetune-bridge", "model.safetensors",
+     "model.safetensors",
+     "pi0 policy, lerobot save_pretrained layout (trainer.py:606-625)"),
+    ("juexzz/INTACT-pi0-rephrase-bridge", "model.safetensors",
+     "model_rephrase.safetensors",
+     "pi0 policy finetuned with paraphrase augmentation"),
+    ("cover-vla/cover-vla-bridge", "cover_verifier_bridge.pt",
+     "cover_verifier.pt",
+     "merged verifier ensemble (EfficientEnsembleMerged schema :36-53)"),
+    ("timm/ViT-L-16-SigLIP2-384", "open_clip_model.safetensors",
+     "siglip2_backbone.pt",
+     "frozen SigLIP2 backbone (open_clip state dict)"),
+]
+
+
+def cmd_fetch(args):
+    """Download the published checkpoints into --dir so `run --tag real`
+    measures REAL-weights ingestion. Air-gapped environments fail fast
+    with the exact manual steps; nothing else in the pipeline changes."""
+    os.makedirs(args.dir, exist_ok=True)
+    missing, present = [], []
+    for repo, fname, dest, what in HUB_ARTIFACTS:
+        dest_path = os.path.join(args.dir, dest)
+        if os.path.exists(dest_path):
+            present.append(dest)
+            continue
+        try:
+            from huggingface_hub import hf_hub_download
+            path = hf_hub_download(repo_id=repo, filename=fname,
+                                   etag_timeout=args.timeout)
+            import shutil
+            shutil.copy(path, dest_path)
+            present.append(dest)
+            print(f"fetched {repo}/{fname} -> {dest}")
+        except Exception as e:
+            missing.append((repo, fname, dest, what, f"{type(e).__name__}"))
+    if missing:
+        print("\nUNFETCHABLE (air-gapped?) — manual recipe:")
+        for repo, fname, dest, what, err in missing:
+            print(f"  # {what}\n"
+                  f"  huggingface-cli download {repo} {fname} "
+                  f"--local-dir /tmp && cp /tmp/{fname} "
+                  f"{os.path.join(args.dir, dest)}   # blocked: {err}")
+        print("\nThen:  python scripts/full_size_ingest.py run "
+              f"--dir {args.dir} --tag real")
+        raise SystemExit(2)
+    print(f"all {len(present)} artifacts present in {args.dir}; next: "
+          f"python scripts/full_size_ingest.py run --dir {args.dir} "
+          "--tag real")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
     g = sub.add_parser("generate")
     g.add_argument("--dir", default="/tmp/full_ingest")
     g.set_defaults(fn=cmd_generate)
+    f = sub.add_parser("fetch")
+    f.add_argument("--dir", default="/tmp/full_ingest")
+    f.add_argument("--timeout", type=float, default=10.0)
+    f.set_defaults(fn=cmd_fetch)
     r = sub.add_parser("run")
     r.add_argument("--dir", default="/tmp/full_ingest")
     r.add_argument("--tag", required=True)

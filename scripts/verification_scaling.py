@@ -302,7 +302,7 @@ def cmd_rankdata(args):
         verifier_tokenizer=make_verifier_tokenizer(vcfg.text.vocab_size),
         seed=9)
 
-    frames, trajs, quals, positions = [], [], [], []
+    frames, trajs, quals, positions, instrs = [], [], [], [], []
     rng = np.random.default_rng(123)
     counters = {"random": 0, "oracle": 0, "dagger": 0}
 
@@ -324,6 +324,8 @@ def cmd_rankdata(args):
                     [env._ee, env._obj, env._target,
                      [float(env._grasped), float(env._gripper)]]
                 ).astype(np.float32))
+                instrs.append(getattr(env, "_grounded_instruction",
+                                      env.instruction))
             # execution scores: random / oracle-best / verifier (DAgger)
             u = rng.random()
             if dagger_score is not None and u < args.dagger_frac:
@@ -353,6 +355,11 @@ def cmd_rankdata(args):
                    for _ in range(E)]
         envs = [FakeWidowXEnv(TASK, max_steps=MAX_ENV_STEPS, appearance=ap)
                 for ap in aps]
+        # grounded instructions for randomized scenes: the recorded
+        # verifier-training instruction names the rendered shapes
+        for env, ap in zip(envs, aps):
+            if ap is not None:
+                env._grounded_instruction = _grounded_instruction(arng, ap)
         seeds = [50_000 + ep_done + j for j in range(E)]
         evaluate_batched(engine, envs, adapter, max_steps=MAX_ENV_STEPS,
                          seeds=seeds)
@@ -363,7 +370,8 @@ def cmd_rankdata(args):
     np.savez_compressed(
         os.path.join(ART_DIR, args.out),
         frames=np.stack(frames), trajs=np.stack(trajs),
-        quals=np.stack(quals), positions=np.stack(positions))
+        quals=np.stack(quals), positions=np.stack(positions),
+        instrs=np.asarray(instrs))
     q = np.stack(quals)
     print(f"rankdata: {len(frames)} states x {N} candidates from "
           f"{ep_done} episodes (exec mix {counters}); quality spread "
@@ -378,6 +386,44 @@ def cmd_rankdata(args):
 
 _OBJ_SHAPES = ("square", "circle", "ellipse_v", "ellipse_h", "triangle")
 _TARGET_SHAPES = ("square", "circle", "ring")
+
+# Shape-noun grounding vocabulary: in domain-randomized collection the
+# instruction NAMES the rendered object/receptacle shape, so the verifier's
+# text-aware extraction (TAVE) learns noun->shape grounding — the cartoon
+# of SigLIP2's language grounding, and the signal that disambiguates the
+# pick object from distractor clutter. The nouns are chosen so the OOD
+# eval instructions ground correctly: "redbull CAN on PLATE" (ellipse_v ->
+# square), "ZUCCHINI on TOWEL" (ellipse_h -> square), "tennis BALL into
+# yellow BASKET" (circle -> ring). Color adjectives are sampled as DECOYS
+# (uncorrelated with the rendering) so the verifier learns to ignore them
+# — at eval time tennis's "yellow basket" is rendered brown.
+# ("hotdog" is excluded from ellipse_h: it hash-collides with "yellow"
+# under the 512-word HashTokenizer.)
+_SHAPE_NOUNS = {
+    "square": ("block", "cube", "box", "sponge"),
+    "circle": ("ball", "orange", "apple"),
+    "ellipse_v": ("can", "bottle", "cup"),
+    "ellipse_h": ("zucchini", "banana", "pickle"),
+    "triangle": ("cone", "wedge", "slice"),
+}
+_RECEPTACLE_NOUNS = {
+    "square": ("towel", "plate", "pad", "paper"),
+    "circle": ("dish", "saucer"),
+    "ring": ("basket", "bowl", "pot"),
+}
+_DECOY_ADJECTIVES = ("", "yellow ", "red ", "green ", "blue ", "gray ",
+                     "purple ", "brown ", "white ")
+
+
+def _grounded_instruction(rng, appearance: dict) -> str:
+    """Instruction naming the rendered shapes (decoy color adjectives)."""
+    noun = _SHAPE_NOUNS[appearance["obj_shape"]]
+    rnoun = _RECEPTACLE_NOUNS[appearance["target_shape"]]
+    prep = "into" if appearance["target_shape"] == "ring" else "on"
+    return (f"put the {_DECOY_ADJECTIVES[rng.integers(9)]}"
+            f"{noun[rng.integers(len(noun))]} {prep} the "
+            f"{_DECOY_ADJECTIVES[rng.integers(9)]}"
+            f"{rnoun[rng.integers(len(rnoun))]}")
 
 
 def _random_appearance(rng) -> dict:
@@ -414,6 +460,7 @@ def _synth_localisation_frames(n: int, seed: int = 5, id_frac: float = 0.25):
     rng = np.random.default_rng(seed)
     frames = np.empty((n, 256, 256, 3), np.uint8)
     positions = np.empty((n, 11), np.float32)
+    shapes = np.empty((n, 2), np.int32)    # obj-shape id, target-shape id
     for i in range(n):
         ap = None
         if rng.random() >= id_frac:
@@ -433,7 +480,9 @@ def _synth_localisation_frames(n: int, seed: int = 5, id_frac: float = 0.25):
         positions[i] = np.concatenate(
             [env._ee, env._obj, env._target,
              [float(env._grasped), float(env._gripper)]])
-    return frames, positions
+        shapes[i] = (_OBJ_SHAPES.index(env.appearance["obj_shape"]),
+                     _TARGET_SHAPES.index(env.appearance["target_shape"]))
+    return frames, positions, shapes
 
 
 def cmd_pretrain_backbone(args):
@@ -455,8 +504,9 @@ def cmd_pretrain_backbone(args):
     from cover_vla_tpu.models import verifier as _verifier
 
     pcfg, vcfg = experiment_configs()
+    shapes = None
     if args.synthetic:
-        frames, positions = _synth_localisation_frames(
+        frames, positions, shapes = _synth_localisation_frames(
             args.synthetic, id_frac=args.id_frac)
         print(f"pretrain: {args.synthetic} domain-randomized synthetic "
               f"frames (id_frac={args.id_frac})")
@@ -468,7 +518,17 @@ def cmd_pretrain_backbone(args):
     targets = np.concatenate([
         positions[:, 0:2], positions[:, 3:5], positions[:, 6:8],
         positions[:, 9:10]], axis=1).astype(np.float32) / 0.1
-    print(f"pretrain: {n} frames")
+    if shapes is not None:
+        # auxiliary shape-classification targets (one-hot, scaled to the
+        # position-target magnitude): features that EXPLICITLY encode the
+        # rendered geometry give the TAVE heads the raw material for
+        # noun->shape grounding (round-5 OOD axis)
+        oh_obj = 2.0 * np.eye(len(_OBJ_SHAPES),
+                              dtype=np.float32)[shapes[:, 0]]
+        oh_tgt = 2.0 * np.eye(len(_TARGET_SHAPES),
+                              dtype=np.float32)[shapes[:, 1]]
+        targets = np.concatenate([targets, oh_obj, oh_tgt], axis=1)
+    print(f"pretrain: {n} frames, {targets.shape[1]} targets")
 
     prep = _verifier_preprocess_fn(vcfg)
     if args.init_from:
@@ -532,9 +592,8 @@ def cmd_pretrain_backbone(args):
         y = jnp.where(fv, y.at[1:6:2].multiply(-1.0), y)
         return img, y
 
-    @jax.jit
-    def step(tree, opt_state, all_frames, all_targets, train_idx, n_train,
-             key):
+    def step_body(tree, opt_state, all_frames, all_targets, train_idx,
+                  n_train, key):
         kb, ka = jax.random.split(key)
         # n_train is a TRACED bound so dataset-size changes reuse the
         # compiled program (train_idx is padded to a fixed bucket)
@@ -549,6 +608,24 @@ def cmd_pretrain_backbone(args):
         loss, grads = jax.value_and_grad(loss_fn)(tree, images, y_b)
         updates, opt_state = tx.update(grads, opt_state, tree)
         return optax.apply_updates(tree, updates), opt_state, loss
+
+    # SCAN_STEPS optimizer steps per dispatch: over the axon tunnel each
+    # dispatch costs ~35-40 ms of round-trip latency, which at 20k steps
+    # would dominate the stage (13+ min of pure RTT); scanning 100 steps
+    # into one program makes the stage compute-bound
+    SCAN_STEPS = min(100, max(1, args.steps))
+
+    @jax.jit
+    def step(tree, opt_state, all_frames, all_targets, train_idx, n_train,
+             key):
+        def body(carry, k):
+            tree, opt = carry
+            tree, opt, loss = step_body(tree, opt, all_frames, all_targets,
+                                        train_idx, n_train, k)
+            return (tree, opt), loss
+        (tree, opt_state), losses = jax.lax.scan(
+            body, (tree, opt_state), jax.random.split(key, SCAN_STEPS))
+        return tree, opt_state, losses[-1]
 
     # unjitted body of _verifier_preprocess_fn (it jits itself; inline here)
     from cover_vla_tpu.ops.image import resize_bicubic_pil
@@ -570,13 +647,15 @@ def cmd_pretrain_backbone(args):
 
     t0 = time.time()
     key = jax.random.PRNGKey(11)
-    for it in range(args.steps):
+    n_dispatch = max(1, args.steps // SCAN_STEPS)
+    for it in range(n_dispatch):
         key, sub = jax.random.split(key)
         tree, opt_state, loss = step(tree, opt_state, dev_frames,
                                      dev_targets, train_idx, n_train, sub)
-        if it % 200 == 0 or it == args.steps - 1:
+        if it % 10 == 0 or it == n_dispatch - 1:
             vl = float(val_loss_fn(tree, val_imgs, val_y))
-            print(f"  pretrain step {it}: loss={float(loss):.4f} "
+            print(f"  pretrain step {(it + 1) * SCAN_STEPS}: "
+                  f"loss={float(loss):.4f} "
                   f"val={vl:.4f} ({time.time() - t0:.0f}s)")
     _save_tree(os.path.join(ART_DIR, "pretrained_vision.pkl"),
                tree["vision"])
@@ -614,10 +693,17 @@ def cmd_train_verifier(args):
     from cover_vla_tpu.eval.benchmark import TASK_INSTRUCTIONS
 
     pcfg, vcfg = experiment_configs()
+    instr_default = TASK_INSTRUCTIONS.get(TASK, TASK.replace("_", " "))
     parts = [np.load(os.path.join(ART_DIR, name)) for name in args.data]
     frames = np.concatenate([p["frames"] for p in parts])
     trajs = np.concatenate([p["trajs"] for p in parts])
     quals = np.concatenate([p["quals"] for p in parts])
+    # per-state instructions (grounded shape-noun templates for
+    # domain-randomized states; older npz files lack the key -> ID instr)
+    state_instrs = np.concatenate([
+        np.asarray(p["instrs"]) if "instrs" in p
+        else np.full(len(p["frames"]), instr_default)
+        for p in parts])
     if len(parts) > 1:
         print(f"verifier rankdata: concatenated {len(parts)} files "
               f"{list(args.data)} -> {len(frames)} states")
@@ -630,7 +716,7 @@ def cmd_train_verifier(args):
           f"spread > {args.min_spread}")
 
     tok = make_verifier_tokenizer(vcfg.text.vocab_size)
-    instr = TASK_INSTRUCTIONS.get(TASK, TASK.replace("_", " "))
+    instr = instr_default
     variants = [instr] + _task_rephrases(instr, 7) if args.rephrases \
         else [instr]
     if args.cross_task_text:
@@ -649,6 +735,21 @@ def cmd_train_verifier(args):
     vt_all, _ = tok.encode_batch(variants, vcfg.text.context_length)
     vt = vt_all[:1]                       # original instruction (row 0)
     print(f"  verifier instruction variants: {len(variants)}")
+
+    # grounded per-state instructions: domain-randomized states carry a
+    # shape-noun template naming the rendered scene (_grounded_instruction)
+    # and MUST train under it — the noun<->shape correlation is the only
+    # signal that disambiguates the pick object from distractor clutter.
+    # ID states (instruction == the task instruction) keep the variant
+    # sampling below (rephrase-invariance on the ID axis).
+    uniq_instrs, instr_inv = np.unique(state_instrs, return_inverse=True)
+    uniq_tok, _ = tok.encode_batch(list(uniq_instrs),
+                                   vcfg.text.context_length)
+    is_id_state = (state_instrs == instr)
+    n_grounded = int((~is_id_state).sum())
+    if n_grounded:
+        print(f"  grounded instructions: {n_grounded}/{len(state_instrs)} "
+              f"states, {len(uniq_instrs)} unique")
 
     prep = _verifier_preprocess_fn(vcfg)
     # LR schedule injected from the host per step: baking the schedule
@@ -727,12 +828,16 @@ def cmd_train_verifier(args):
     val_imgs = np.asarray(prep(frames[v_idx]))
     val_trajs = trajs[v_idx]
     val_quals = quals[v_idx]
+    # each held-out state scores under ITS recorded instruction (grounded
+    # template for DR states; == the ID instruction tokens for ID states)
+    val_vt = uniq_tok[instr_inv[v_idx]]
 
     @_jax.jit
     def _val_scores(params):
         return _jax.vmap(
-            lambda img, tr: _verifier.score_actions(
-                params, vcfg, img[None], vt, tr))(val_imgs, val_trajs)
+            lambda img, vt1, tr: _verifier.score_actions(
+                params, vcfg, img[None], vt1[None], tr))(
+                    val_imgs, val_vt, val_trajs)
 
     def val_regret(params):
         """Selection regret on held-out states, scored EXACTLY as the
@@ -757,6 +862,10 @@ def cmd_train_verifier(args):
                                             bucket))
     dev_quals = _jax.device_put(_pad_bucket(quals.astype(np.float32),
                                             bucket))
+    dev_instr_inv = _jax.device_put(
+        _pad_bucket(instr_inv.astype(np.int32), bucket))
+    dev_is_id = _jax.device_put(_pad_bucket(is_id_state, bucket))
+    dev_uniq_tok = _jax.device_put(uniq_tok)
     stratified = bool(len(hi)) and bool(len(lo))
     hi_arr = hi if stratified else train
     lo_arr = lo if stratified else train
@@ -789,8 +898,8 @@ def cmd_train_verifier(args):
     vt_dev = _jax.device_put(vt_all)      # [R, Tv] instruction variants
 
     @_jax.jit
-    def assemble(all_frames, all_trajs, all_quals, hi_idx, lo_idx,
-                 n_hi_t, n_lo_t, key):
+    def assemble(all_frames, all_trajs, all_quals, instr_inv_d, is_id_d,
+                 uniq_tok_d, hi_idx, lo_idx, n_hi_t, n_lo_t, key):
         kb1, kb2, ka, kt = jax.random.split(key, 4)
         # stratified batch: half high-stakes, half routine (index bounds
         # traced so dataset-size changes reuse the compiled program)
@@ -816,37 +925,73 @@ def cmd_train_verifier(args):
         x = resize_bicubic_pil(f_b.astype(jnp.float32),
                                vcfg.vision.image_size,
                                vcfg.vision.image_size)
-        # each example trains under a random instruction variant so the
-        # score is invariant to the rephrase axis (row-0 scoring switches
-        # instruction mid-episode at engine time)
+        # ID states train under a random instruction variant (score
+        # invariant to the rephrase axis — row-0 scoring switches
+        # instruction mid-episode at engine time); grounded DR states
+        # train under THEIR recorded shape-noun instruction (the signal
+        # that teaches noun->shape grounding)
         r = jax.random.randint(kt, (args.batch,), 0, vt_dev.shape[0])
+        var_toks = jnp.take(vt_dev, r, axis=0)
+        g_toks = jnp.take(uniq_tok_d, jnp.take(instr_inv_d, idx), axis=0)
+        toks = jnp.where(jnp.take(is_id_d, idx)[:, None],
+                         var_toks, g_toks)
         return {
             "images": ((x / 255.0) - 0.5) / 0.5,
-            "text_tokens": jnp.take(vt_dev, r, axis=0),
+            "text_tokens": toks,
             "cand_trajs": t_b,
             "qualities": q,
         }
+
+    # VS_SCAN_STEPS optimizer steps fused per dispatch (assemble + train
+    # step inlined under one lax.scan): over the axon tunnel the per-step
+    # round trips would otherwise dominate the stage. The LR schedule is
+    # injected functionally per scan step (inject_hyperparams state).
+    SCAN_STEPS = min(int(os.environ.get("VS_SCAN_STEPS", "50")),
+                     max(1, args.steps))
+
+    @_jax.jit
+    def multi_step(state, lr_win, all_frames, all_trajs, all_quals,
+                   instr_inv_d, is_id_d, uniq_tok_d, hi_idx, lo_idx,
+                   n_hi_t, n_lo_t, key):
+        def body(st, inp):
+            lr_k, k = inp
+            batch = assemble(all_frames, all_trajs, all_quals, instr_inv_d,
+                             is_id_d, uniq_tok_d, hi_idx, lo_idx,
+                             n_hi_t, n_lo_t, k)
+            opt = st.opt_state._replace(
+                hyperparams={**st.opt_state.hyperparams,
+                             "learning_rate": lr_k})
+            st = train_verifier.FullVerifierTrainState(st.params, opt,
+                                                       st.step)
+            st, metrics = step_fn(st, batch)
+            return st, (metrics["loss"], metrics["rank_acc"])
+        keys = _jax.random.split(key, SCAN_STEPS)
+        state, (losses, accs) = _jax.lax.scan(body, state, (lr_win, keys))
+        return state, losses[-1], accs[-1]
 
     best = (1e9, None)
     t0 = time.time()
     key = _jax.random.PRNGKey(17)
     # whole LR schedule precomputed in one dispatch (a per-step sched()
     # call would cost a 35 ms tunnel round trip each)
-    lrs = np.asarray(_jax.jit(_jax.vmap(sched))(np.arange(args.steps)))
-    for it in range(args.steps):
-        state.opt_state.hyperparams["learning_rate"] = np.float32(lrs[it])
+    lrs = np.asarray(_jax.jit(_jax.vmap(sched))(np.arange(args.steps))
+                     ).astype(np.float32)
+    n_dispatch = max(1, args.steps // SCAN_STEPS)
+    val_every = max(1, 200 // SCAN_STEPS)
+    for it in range(n_dispatch):
         key, sub = _jax.random.split(key)
-        batch = assemble(dev_frames, dev_trajs, dev_quals, dev_hi, dev_lo,
-                         n_hi, n_lo, sub)
-        state, metrics = step_fn(state, batch)
-        if it % 200 == 0 or it == args.steps - 1:
+        lr_win = lrs[it * SCAN_STEPS:(it + 1) * SCAN_STEPS]
+        state, loss, acc = multi_step(
+            state, lr_win, dev_frames, dev_trajs, dev_quals, dev_instr_inv,
+            dev_is_id, dev_uniq_tok, dev_hi, dev_lo, n_hi, n_lo, sub)
+        if it % val_every == 0 or it == n_dispatch - 1:
             vr, va = val_regret(state.params)
             if vr < best[0]:
                 best = (vr, _jax.tree_util.tree_map(np.asarray,
                                                     state.params))
-            print(f"  verifier step {it}: "
-                  f"loss={float(metrics['loss']):.4f} "
-                  f"rank_acc={float(metrics['rank_acc']):.3f} "
+            print(f"  verifier step {(it + 1) * SCAN_STEPS}: "
+                  f"loss={float(loss):.4f} "
+                  f"rank_acc={float(acc):.3f} "
                   f"val_regret={vr:.3f} val_top1={va:.3f} "
                   f"({time.time() - t0:.0f}s)")
     _save_tree(os.path.join(ART_DIR, args.out),
@@ -974,6 +1119,17 @@ def cmd_eval(args):
     policy_params = _load_tree(os.path.join(ART_DIR, "policy_params.pkl"))
     verifier_params = _load_tree(
         os.path.join(ART_DIR, args.verifier_params))
+    if args.quantize != "none":
+        # int8 w8a8 serving path (ops/quant, the 232 act/s bench mode):
+        # measure TASK SUCCESS under quantization, not just action
+        # deviation — record with --record-mode (e.g. verifier_int8)
+        import jax
+        from cover_vla_tpu.ops import quant
+        policy_params = jax.jit(quant.quantize_pi0_policy)(policy_params)
+        if args.quantize == "int8_full":
+            verifier_params = jax.jit(quant.quantize_verifier)(
+                verifier_params)
+        print(f"  quantized policy tree ({args.quantize})")
 
     # verifier cells measured with a non-default checkpoint are recorded
     # under --record-mode (e.g. "verifier_dr") so they merge alongside —
@@ -1467,6 +1623,11 @@ def main():
                         "(measure an alternate checkpoint alongside the "
                         "committed rows; pair with --merge "
                         "--skip-existing)")
+    e.add_argument("--quantize", default="none",
+                   choices=["none", "int8", "int8_full"],
+                   help="quantize the policy (and verifier for int8_full) "
+                        "before evaluation — success-rate evidence for "
+                        "the int8 serving mode")
     e.set_defaults(fn=cmd_eval)
 
     r = sub.add_parser("report")
