@@ -643,11 +643,16 @@ class _nullcontext:
 def main(argv=None):
     from cover_vla_tpu.utils.cli import parse
     from cover_vla_tpu.parallel.distributed import init_multihost
+    from cover_vla_tpu.utils.monitor import enable_persistent_compile_cache
     cfg = parse(RunCfg, argv)
     # multihost entry (SURVEY.md §5: jax.distributed.initialize replaces
     # torchrun's NCCL init): no-op unless COORDINATOR_ADDRESS/NUM_PROCESSES/
     # PROCESS_ID are set, raises on a half-configured launch environment
     init_multihost()
+    # persistent XLA compile cache for every role: checkpoint iteration
+    # (serve_policy switch_model, repeated eval processes) skips the
+    # full-size recompile across processes
+    enable_persistent_compile_cache()
     role = {
         "train": role_train,
         "train_pi0fast": role_train_pi0fast,
