@@ -575,11 +575,14 @@ def cmd_compare(args):
         "score_b": float(b["score"].ravel()[0]),
     }
     report = {"compare": {f"{args.a}_vs_{args.b}": cmp}}
-    for tag in (args.a, args.b):
-        p = os.path.join(args.dir, f"run_{tag}.json")
-        if os.path.exists(p):
-            with open(p) as f:
-                report[f"run_{tag}"] = json.load(f)
+    # scoop up every run_*.json (not just the two compared tags): the
+    # warm-cache rerun (tag tpu_warm) documents cross-process compile
+    # reuse next to the cold run
+    import glob as _glob
+    for p in sorted(_glob.glob(os.path.join(args.dir, "run_*.json"))):
+        tag = os.path.basename(p)[len("run_"):-len(".json")]
+        with open(p) as f:
+            report[f"run_{tag}"] = json.load(f)
     gi = os.path.join(args.dir, "generate_info.json")
     if os.path.exists(gi):
         with open(gi) as f:

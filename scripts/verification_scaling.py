@@ -996,6 +996,13 @@ def cmd_train_verifier(args):
                   f"({time.time() - t0:.0f}s)")
     _save_tree(os.path.join(ART_DIR, args.out),
                best[1] if best[1] is not None else state.params)
+    # sidecar meta: dagger_note stitches these into results.json's
+    # per-round curve (data size + held-out regret per checkpoint)
+    with open(os.path.join(ART_DIR, args.out + ".meta.json"), "w") as f:
+        json.dump({"val_regret": round(float(best[0]), 4),
+                   "data_files": list(args.data),
+                   "n_states": int(n),
+                   "n_states_total": int(len(frames))}, f, indent=1)
     print(f"saved {args.out} (best val_regret={best[0]:.3f})")
 
 
@@ -1263,12 +1270,61 @@ def cmd_eval(args):
               f"/{switch['episodes']} episodes "
               f"({100 * switch['switch_rate']:.0f}%)")
 
+    # carry forward auxiliary keys (dagger_rounds etc.) a merge run didn't
+    # touch — a grid re-run must not erase the committed round curve
+    extra = {}
+    if args.merge and os.path.exists(res_path):
+        with open(res_path) as f:
+            extra = {k: v for k, v in json.load(f).items()
+                     if k not in ("grid", "task", "trials_per_cell",
+                                  "instruction_switch_K8", "ood_grid")}
     with open(os.path.join(ART_DIR, "results.json"), "w") as f:
-        json.dump({"grid": cells, "task": TASK,
+        json.dump({**extra, "grid": cells, "task": TASK,
                    "trials_per_cell": args.trials,
                    "instruction_switch_K8": switch,
                    "ood_grid": ood_cells}, f, indent=1)
     print("saved results.json (analyzer cross-check ok)")
+
+
+def cmd_dagger_note(args):
+    """Record one DAgger round in results.json's ``dagger_rounds`` curve.
+
+    Pairs a verifier checkpoint's training meta (``<ckpt>.meta.json``,
+    written by train_verifier) with the grid cells measured for it (via
+    ``eval --record-mode <mode>``) — the per-round evidence that
+    on-policy recollection keeps verification scaling (the reference's
+    thesis, README.md:136-155).
+    """
+    res_path = os.path.join(ART_DIR, "results.json")
+    with open(res_path) as f:
+        res = json.load(f)
+    meta = {}
+    mpath = os.path.join(ART_DIR, args.checkpoint + ".meta.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            meta = json.load(f)
+    cells = {(c["mode"], c["n_samples"]): c for c in res["grid"]
+             if c.get("n_rephrases", 1) == 1}
+    entry = {"round": args.round,
+             "checkpoint": args.checkpoint,
+             "mode": args.mode,
+             "data": meta.get("n_states"),
+             "data_files": meta.get("data_files"),
+             "val_regret": meta.get("val_regret"),
+             "n16": cells.get((args.mode, 16)),
+             "n80": cells.get((args.mode, 80))}
+    rounds = [r for r in res.get("dagger_rounds", [])
+              if r["round"] != args.round]
+    rounds.append(entry)
+    rounds.sort(key=lambda r: r["round"])
+    res["dagger_rounds"] = rounds
+    with open(res_path, "w") as f:
+        json.dump(res, f, indent=1)
+    print(f"dagger round {args.round} ({args.mode}): "
+          f"val_regret={meta.get('val_regret')} "
+          f"data={meta.get('n_states')} states "
+          f"n16={entry['n16'] and entry['n16']['success_rate']} "
+          f"n80={entry['n80'] and entry['n80']['success_rate']}")
 
 
 # ---------------------------------------------------------------------------
@@ -1432,7 +1488,7 @@ def cmd_report(args):
         lines += [
             "", "## DAgger rounds (ranking data recollected under the "
             "deployed verifier's own selection)", "",
-            "| round | data (episodes) | val_regret | verifier N=16 "
+            "| round | data (ranked states) | val_regret | verifier N=16 "
             "| verifier N=80 |", "|---|---|---|---|---|"]
         for r in rounds:
             lines.append(
@@ -1672,6 +1728,16 @@ def main():
                         "before evaluation — success-rate evidence for "
                         "the int8 serving mode")
     e.set_defaults(fn=cmd_eval)
+
+    dn = sub.add_parser("dagger_note")
+    dn.add_argument("--round", type=int, required=True)
+    dn.add_argument("--checkpoint", required=True,
+                    help="verifier checkpoint filename (in ART_DIR) whose "
+                         ".meta.json supplies val_regret/data size")
+    dn.add_argument("--mode", default="verifier",
+                    help="grid mode name whose N=16/N=80 cells this round "
+                         "produced (e.g. verifier_r1 via --record-mode)")
+    dn.set_defaults(fn=cmd_dagger_note)
 
     r = sub.add_parser("report")
     r.set_defaults(fn=cmd_report)
