@@ -317,7 +317,8 @@ def cmd_rankdata(args):
                     continue
                 for i in range(kn):
                     q[e, i] = chunk_quality(env, exec_chunks[e, i])
-                frames.append(env.render())
+                frame = env.render()
+                frames.append(frame)
                 trajs.append(tr[e])
                 quals.append(q[e])
                 positions.append(np.concatenate(
@@ -326,6 +327,40 @@ def cmd_rankdata(args):
                 ).astype(np.float32))
                 instrs.append(getattr(env, "_grounded_instruction",
                                       env.instruction))
+                # wrong-noun counterfactual slate: the SAME frame under an
+                # instruction naming a DISTRACTOR's shape as the pick
+                # object, with qualities recomputed toward that distractor.
+                # Same pixels + different noun -> different labels is the
+                # only supervision that makes the text tower's noun->shape
+                # grounding label-RELEVANT; without it the heads learn
+                # text-invariant scoring and approach-phase ranking on
+                # cluttered OOD scenes becomes spurious (anti-correlated
+                # picks on self-induced episodes, r5 diagnosis).
+                if (args.wrong_noun_frac > 0 and not env._grasped
+                        and getattr(env, "_grounded_instruction", None)
+                        and rng.random() < args.wrong_noun_frac):
+                    dcands = [
+                        (dpos, d) for dpos, d in env._distractors
+                        if d["shape"] != env.appearance["obj_shape"]]
+                    if dcands:
+                        dpos, d = dcands[rng.integers(len(dcands))]
+                        import copy as _copy
+                        sim0 = _copy.deepcopy(env)
+                        sim0._obj = np.array([dpos[0], dpos[1], 0.02])
+                        qw = np.array(
+                            [chunk_quality(sim0, exec_chunks[e, i])
+                             for i in range(kn)], np.float32)
+                        frames.append(frame)
+                        trajs.append(tr[e])
+                        quals.append(qw)
+                        positions.append(np.concatenate(
+                            [env._ee, sim0._obj, env._target,
+                             [0.0, float(env._gripper)]]
+                        ).astype(np.float32))
+                        instrs.append(_wrong_noun_instruction(
+                            rng, env.appearance, d["shape"]))
+                        counters["wrong_noun"] = \
+                            counters.get("wrong_noun", 0) + 1
             # execution scores: random / oracle-best / verifier (DAgger)
             u = rng.random()
             if dagger_score is not None and u < args.dagger_frac:
@@ -418,6 +453,18 @@ _DECOY_ADJECTIVES = ("", "yellow ", "red ", "green ", "blue ", "gray ",
 def _grounded_instruction(rng, appearance: dict) -> str:
     """Instruction naming the rendered shapes (decoy color adjectives)."""
     noun = _SHAPE_NOUNS[appearance["obj_shape"]]
+    rnoun = _RECEPTACLE_NOUNS[appearance["target_shape"]]
+    prep = "into" if appearance["target_shape"] == "ring" else "on"
+    return (f"put the {_DECOY_ADJECTIVES[rng.integers(9)]}"
+            f"{noun[rng.integers(len(noun))]} {prep} the "
+            f"{_DECOY_ADJECTIVES[rng.integers(9)]}"
+            f"{rnoun[rng.integers(len(rnoun))]}")
+
+
+def _wrong_noun_instruction(rng, appearance: dict, d_shape: str) -> str:
+    """Counterfactual instruction naming a DISTRACTOR's shape as the pick
+    object (receptacle noun stays correct)."""
+    noun = _SHAPE_NOUNS[d_shape]
     rnoun = _RECEPTACLE_NOUNS[appearance["target_shape"]]
     prep = "into" if appearance["target_shape"] == "ring" else "on"
     return (f"put the {_DECOY_ADJECTIVES[rng.integers(9)]}"
@@ -704,6 +751,27 @@ def cmd_train_verifier(args):
         np.asarray(p["instrs"]) if "instrs" in p
         else np.full(len(p["frames"]), instr_default)
         for p in parts])
+    if args.dr_phase == "carry":
+        # Approach-phase ranking on domain-randomized states requires
+        # TEXT grounding to identify the pick object among distractors —
+        # with the HashTokenizer cartoon the heads ignore text
+        # (noun_sensitivity ~0.01, ood_diagnostics lang), so those states
+        # are label noise that trains a spurious approach preference
+        # (closed-loop: anti-correlated approach picks, mean rank 10/16
+        # on self-induced OOD episodes). Keep DR states only where the
+        # object is GRASPED: carry/release ranking is identity-free
+        # geometry (move the held blob to the receptacle), the phase
+        # where DR fine-tuning measurably helped.
+        grasped = np.concatenate([
+            p["positions"][:, 9].astype(bool) for p in parts])
+        is_dr = state_instrs != instr_default
+        keep_phase = ~is_dr | grasped
+        frames, trajs, quals = (frames[keep_phase], trajs[keep_phase],
+                                quals[keep_phase])
+        state_instrs = state_instrs[keep_phase]
+        print(f"verifier rankdata: --dr-phase carry keeps "
+              f"{keep_phase.sum()}/{len(keep_phase)} states "
+              f"({int((is_dr & keep_phase).sum())} DR carry)")
     if len(parts) > 1:
         print(f"verifier rankdata: concatenated {len(parts)} files "
               f"{list(args.data)} -> {len(frames)} states")
@@ -1043,7 +1111,8 @@ def oracle_score_factory(envs):
 def run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
              mode: str, n_samples: int, trials: int, n_parallel: int,
              seed: int, out_dir=None, n_rephrases: int = 1,
-             task: str = TASK):
+             task: str = TASK, gripper_vote=None,
+             rescore_threshold=None):
     from cover_vla_tpu.configs import CoVerConfig
     from cover_vla_tpu.eval.evaluator import (
         EvalConfig, evaluate_suite_batched)
@@ -1068,10 +1137,15 @@ def run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
             max_history=vcfg.history_length - pcfg.chunk_size)
         score_fn_factory = oracle_score_factory
     else:
+        kw = {}
+        if rescore_threshold is not None:
+            kw["rescore_threshold"] = float(rescore_threshold)
         ccfg = CoVerConfig(
             n_samples=n_samples, n_rephrases=n_rephrases, noise_std=1.0,
-            selection=mode, gripper_vote=(mode == "verifier"),
-            max_history=vcfg.history_length - pcfg.chunk_size)
+            selection=mode,
+            gripper_vote=(mode == "verifier" if gripper_vote is None
+                          else bool(gripper_vote) and mode == "verifier"),
+            max_history=vcfg.history_length - pcfg.chunk_size, **kw)
         score_fn_factory = None
     ecfg = EvalConfig(task_suite=task, num_trials_per_task=trials,
                       max_steps=MAX_ENV_STEPS, seed=1000, seed_period=10_000)
@@ -1175,7 +1249,9 @@ def cmd_eval(args):
         cell = run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
                         mode, n_samples, trials=args.trials,
                         n_parallel=args.n_parallel, seed=7,
-                        out_dir=out_dir, n_rephrases=n_reph)
+                        out_dir=out_dir, n_rephrases=n_reph,
+                        gripper_vote=args.gripper_vote,
+                        rescore_threshold=args.rescore_threshold)
         cell["mode"] = rec_mode(mode)
         cell["wall_s"] = round(time.time() - t0, 1)
         cells.append(cell)
@@ -1243,7 +1319,9 @@ def cmd_eval(args):
                     n_parallel=args.n_parallel, seed=7, task=task,
                     out_dir=os.path.join(
                         ART_DIR, "episodes",
-                        f"ood_{short}_{rec_mode(mode)}_N{n_samples}"))
+                        f"ood_{short}_{rec_mode(mode)}_N{n_samples}"),
+                    gripper_vote=args.gripper_vote,
+                    rescore_threshold=args.rescore_threshold)
                 cell["mode"] = rec_mode(mode)
                 cell["task"] = task
                 cell["wall_s"] = round(time.time() - t0, 1)
@@ -1584,6 +1662,16 @@ def _force_platform(platform: str):
     import jax
     if platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # fp32 matmuls on the TPU for THIS experiment: the verifier's
+        # learned score geometry lives in ~1e-2 cosine margins, and the
+        # default bf16 matmul precision makes TPU training numerically
+        # different from the CPU-fp32 regime that produced every
+        # closed-loop-validated checkpoint. Pinning HIGHEST removes that
+        # train-platform divergence (the tiny experiment models lose
+        # nothing measurable to it); the full-size production paths
+        # (bench.py, training/train_pi0.py) keep their own bf16 policies.
+        jax.config.update("jax_default_matmul_precision", "highest")
     # persistent compile cache (same layout bench.py/tests use): stage
     # re-runs and parameter sweeps skip recompilation
     cache_dir = os.environ.get(
@@ -1629,6 +1717,12 @@ def main():
                     help="verifier params pkl; its argmax drives execution "
                          "with prob --dagger-frac (DAgger round 2)")
     rk.add_argument("--dagger-frac", type=float, default=0.5)
+    rk.add_argument("--wrong-noun-frac", type=float, default=0.0,
+                    help="probability of also recording a wrong-noun "
+                         "counterfactual slate (same frame, instruction "
+                         "naming a distractor's shape, qualities toward "
+                         "that distractor) for approach-phase "
+                         "domain-randomized states")
     rk.add_argument("--domain-rand", action="store_true",
                     help="randomize scene appearance per episode "
                          "(appearance breadth for the verifier heads)")
@@ -1687,6 +1781,11 @@ def main():
                    choices=["auto", "true", "false"],
                    help="auto = freeze iff the pretrained tower loaded "
                         "(reference semantics: pretrained backbone frozen)")
+    v.add_argument("--dr-phase", default="all", choices=["all", "carry"],
+                   help="'carry' drops approach-phase domain-randomized "
+                        "states (identity-ambiguous without text "
+                        "grounding — spurious-approach poison; see the "
+                        "dr_phase comment in cmd_train_verifier)")
     v.add_argument("--init-params", default="",
                    help="verifier params pkl under the artifact dir to "
                         "warm-start from (fine-tune) instead of fresh init")
@@ -1717,6 +1816,18 @@ def main():
                    help="also run the OOD appearance-variant cells")
     e.add_argument("--verifier-params", default="verifier_params.pkl",
                    help="verifier params pkl under the artifact dir")
+    e.add_argument("--rescore-threshold", type=float, default=None,
+                   help="override the stage-1 gate threshold (reference "
+                        "default 0.1; inf disables the gate = pure stage-2 "
+                        "grouped argmax) — diagnosis knob, the committed "
+                        "verifier arm keeps the reference semantics")
+    e.add_argument("--gripper-vote", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="override the verifier arm's gripper majority vote "
+                        "(reference semantics: ON within the winning "
+                        "language group, run_simpler_eval_with_openpi.py:"
+                        "375-392); --no-gripper-vote isolates selection "
+                        "quality from the vote for diagnosis")
     e.add_argument("--record-mode", default=None,
                    help="record verifier cells under this mode name "
                         "(measure an alternate checkpoint alongside the "
