@@ -118,6 +118,11 @@ _ALL_ENV_NAMES = {
     "widowx_redbull_on_plate", "widowx_tennis_ball_in_basket",
     "widowx_zucchini_on_towel", "widowx_tape_measure_in_basket",
     "widowx_toy_dinosaur_on_towel", "widowx_stapler_on_paper",
+    # appearance-only tier of the fake-env OOD suite (color/size shift
+    # without the round-5 geometry/clutter axes; fake_env.TASK_APPEARANCES)
+    "widowx_redbull_on_plate_appearance",
+    "widowx_tennis_ball_in_basket_appearance",
+    "widowx_zucchini_on_towel_appearance",
 }
 
 # canonical language instruction per task (what env.get_language_instruction
@@ -129,9 +134,13 @@ TASK_INSTRUCTIONS: Dict[str, str] = {
     "widowx_spoon_on_towel": "put the spoon on the towel",
     "widowx_stack_cube": "stack the green block on the yellow block",
     "widowx_redbull_on_plate": "put redbull can on plate",
+    "widowx_redbull_on_plate_appearance": "put redbull can on plate",
     "widowx_zucchini_on_towel": "put the zucchini on the towel",
+    "widowx_zucchini_on_towel_appearance": "put the zucchini on the towel",
     "widowx_toy_dinosaur_on_towel": "put the toy dinosaur on the towel",
     "widowx_tennis_ball_in_basket": "put tennis ball into yellow basket",
+    "widowx_tennis_ball_in_basket_appearance":
+        "put tennis ball into yellow basket",
     "widowx_tape_measure_in_basket": "put tape measure into yellow basket",
     "widowx_stapler_on_paper": "put the stapler on the paper",
     "widowx_spoon_on_towel_new_table_cloth": "put the spoon on the towel",

@@ -66,6 +66,18 @@ TASK_APPEARANCES = {
     "widowx_carrot_on_plate_unseen_lighting": {"bg": 112},
 }
 
+# appearance-only tier of the OOD suite (the round-4 definition): unseen
+# object/receptacle COLORS and SIZES with in-distribution geometry and no
+# clutter. The base task names above add the round-5 hard axes on top
+# (novel shapes — ellipses/ring — and distractor blobs); keeping both
+# tiers separates "unseen appearance" transfer from the identity-
+# grounding problem clutter introduces.
+for _t in ("widowx_redbull_on_plate", "widowx_zucchini_on_towel",
+           "widowx_tennis_ball_in_basket"):
+    TASK_APPEARANCES[_t + "_appearance"] = {
+        k: v for k, v in TASK_APPEARANCES[_t].items()
+        if k in ("obj_color", "obj_r", "target_color", "target_r", "bg")}
+
 
 class FakeWidowXEnv:
     """Deterministic scripted env with the SIMPLER observation surface."""

@@ -225,8 +225,8 @@ def cmd_train_policy(args):
         if it % 100 == 0 or it == args.steps - 1:
             print(f"  policy step {it}: loss={float(metrics['loss']):.4f} "
                   f"({time.time() - t0:.0f}s)")
-    _save_tree(os.path.join(ART_DIR, "policy_params.pkl"), state.params)
-    print("saved policy_params.pkl")
+    _save_tree(os.path.join(ART_DIR, args.policy_out), state.params)
+    print(f"saved {args.policy_out}")
 
 
 # ---------------------------------------------------------------------------
@@ -265,7 +265,7 @@ def cmd_rankdata(args):
 
     pcfg, vcfg = experiment_configs()
     _, stats = _load_demos()
-    pp = _load_tree(os.path.join(ART_DIR, "policy_params.pkl"))
+    pp = _load_tree(os.path.join(ART_DIR, args.policy_params))
     N, E = args.n_candidates, args.n_parallel
     ccfg = CoVerConfig(
         n_samples=N, n_rephrases=1, noise_std=args.noise_std,
@@ -950,7 +950,7 @@ def cmd_train_verifier(args):
         trajectory's matching delta axis is negated too (image column <->
         world x, row <-> world y; fake_env._frame). Padding rows (-5.0)
         must stay padding through the sign flips."""
-        kd, kh, kv = jax.random.split(key, 3)
+        kd, kh, kv, kp, ks, ko = jax.random.split(key, 6)
         dy, dx = jax.random.randint(kd, (2,), -24, 25)
         img = jnp.roll(img, (dy, dx), axis=(0, 1))
         pad = jnp.all(tr == pad_val, axis=-1, keepdims=True)  # [N, H, 1]
@@ -961,6 +961,19 @@ def cmd_train_verifier(args):
         sign = jnp.ones((7,)).at[0].set(jnp.where(fh, -1.0, 1.0)
                                         ).at[1].set(jnp.where(fv, -1.0, 1.0))
         tr = jnp.where(pad, tr, tr * sign)
+        if args.color_aug:
+            # photometric invariance WITHOUT changing the state/label
+            # distribution: chunk quality depends only on blob geometry,
+            # so any per-pixel color map is label-preserving. Channel
+            # permutation + per-channel affine jitter covers the OOD
+            # appearance axis (unseen object/receptacle/background
+            # colors) while the ranking data stays exactly the
+            # distribution the checkpoint was validated on.
+            img = img.astype(jnp.float32)[..., jax.random.permutation(kp, 3)]
+            img = img * jax.random.uniform(ks, (3,), minval=0.6,
+                                           maxval=1.4) \
+                + jax.random.uniform(ko, (3,), minval=-40.0, maxval=40.0)
+            img = jnp.clip(img, 0.0, 255.0)
         return img, tr
 
     vt_dev = _jax.device_put(vt_all)      # [R, Tv] instruction variants
@@ -1184,12 +1197,17 @@ GRID = [("first", 1, 1), ("random", 5, 1), ("random", 16, 1),
 
 ORACLE_NS = (5, 16, 40, 80)
 
-# OOD appearance variants (fake_env.TASK_APPEARANCES — the cartoon of the
-# reference's unseen-object/lighting scenes): policy + verifier trained ONLY
-# on the ID task face a visual-domain shift. Mirrors the reference's OOD
-# table (README.md:148-155: redbull/zucchini/tennis, verification recovers a
-# degraded policy).
-OOD_TASKS = ("widowx_redbull_on_plate", "widowx_zucchini_on_towel",
+# OOD variants (fake_env.TASK_APPEARANCES — the cartoon of the reference's
+# unseen-object/lighting scenes): policy + verifier trained ONLY on the ID
+# task face a visual-domain shift. Mirrors the reference's OOD table
+# (README.md:148-155: redbull/zucchini/tennis, verification recovers a
+# degraded policy). Two tiers: "_appearance" = unseen colors/sizes (the
+# round-4 definition); base names ADD novel geometry (ellipses, a ring
+# receptacle) and distractor clutter (the round-5 hard axes).
+OOD_TASKS = ("widowx_redbull_on_plate_appearance",
+             "widowx_zucchini_on_towel_appearance",
+             "widowx_tennis_ball_in_basket_appearance",
+             "widowx_redbull_on_plate", "widowx_zucchini_on_towel",
              "widowx_tennis_ball_in_basket")
 OOD_MODES = (("first", 1), ("random", 16), ("verifier", 16), ("oracle", 16))
 
@@ -1197,7 +1215,7 @@ OOD_MODES = (("first", 1), ("random", 16), ("verifier", 16), ("oracle", 16))
 def cmd_eval(args):
     pcfg, vcfg = experiment_configs()
     _, stats = _load_demos()
-    policy_params = _load_tree(os.path.join(ART_DIR, "policy_params.pkl"))
+    policy_params = _load_tree(os.path.join(ART_DIR, args.policy_params))
     verifier_params = _load_tree(
         os.path.join(ART_DIR, args.verifier_params))
     if args.quantize != "none":
@@ -1494,45 +1512,53 @@ def cmd_report(args):
            for c in res.get("ood_grid", [])}
     if ood:
         ood_tasks = sorted({t for t, _, _ in ood})
-        has_dr = any(m == "verifier_dr" for _, m, _ in ood)
-        dr_hdr = "| verifier_dr N=16 " if has_dr else ""
+        tiers = [
+            ("unseen appearance (colors/sizes — the round-4 OOD "
+             "definition)",
+             [t for t in ood_tasks if t.endswith("_appearance")]),
+            ("unseen geometry + clutter (novel shapes, a ring "
+             "receptacle, distractor blobs — the round-5 hard axes)",
+             [t for t in ood_tasks if not t.endswith("_appearance")]),
+        ]
         lines += [
-            "", "## OOD appearance variants (unseen object/receptacle "
-            "colors and sizes)", "",
-            "Policy, backbone, and verifier heads are trained ONLY on the"
-            " ID task; these cells shift the rendered appearance"
-            " (`fake_env.TASK_APPEARANCES` — the cartoon of the"
-            " reference's unseen-object scenes) and the instruction."
-            + (" The `verifier_dr` column is the same verifier fine-tuned"
-               " on domain-randomized ranking data (`rankdata"
-               " --domain-rand`, labels still privileged) — the analog of"
-               " the reference verifier's appearance breadth from the"
-               " full bridge corpus + pretrained SigLIP2."
-               if has_dr else ""),
+            "", "## OOD variants",
             "",
-            "| task | first (pi0) | random N=16 | verifier N=16 "
-            + dr_hdr + "| oracle N=16 |",
-            "|---|" + "---|" * (4 + int(has_dr))]
-        for t in ood_tasks:
-            short = t.replace("widowx_", "")
-            dr_col = (f"| {fmt(ood.get((t, 'verifier_dr', 16)))} "
-                      if has_dr else "")
-            lines.append(
-                f"| {short} | {fmt(ood.get((t, 'first', 1)))} "
-                f"| {fmt(ood.get((t, 'random', 16)))} "
-                f"| {fmt(ood.get((t, 'verifier', 16)))} "
-                + dr_col
-                + f"| {fmt(ood.get((t, 'oracle', 16)))} |")
+            "Policy, backbone, and verifier heads are trained ONLY on the"
+            " ID task; these cells shift the rendered scene"
+            " (`fake_env.TASK_APPEARANCES` — the cartoon of the"
+            " reference's unseen-object scenes) and the instruction."]
+        extra_modes = sorted({m for _, m, _ in ood}
+                             - {"first", "random", "verifier", "oracle"})
+        for title, tasks in tiers:
+            if not tasks:
+                continue
+            hdr_extra = "".join(f"| {m} N=16 " for m in extra_modes)
+            lines += [
+                "", f"### {title}", "",
+                "| task | first (pi0) | random N=16 | verifier N=16 "
+                + hdr_extra + "| oracle N=16 |",
+                "|---|" + "---|" * (4 + len(extra_modes))]
+            for t in tasks:
+                short = t.replace("widowx_", "").replace("_appearance", "")
+                cols = "".join(f"| {fmt(ood.get((t, m, 16)))} "
+                               for m in extra_modes)
+                lines.append(
+                    f"| {short} | {fmt(ood.get((t, 'first', 1)))} "
+                    f"| {fmt(ood.get((t, 'random', 16)))} "
+                    f"| {fmt(ood.get((t, 'verifier', 16)))} "
+                    + cols
+                    + f"| {fmt(ood.get((t, 'oracle', 16)))} |")
 
-        def _avg(mode, n):
-            cs = [ood.get((t, mode, n)) for t in ood_tasks]
-            cs = [c for c in cs if c]
-            return (f"{100 * np.mean([c['success_rate'] for c in cs]):.0f}%"
-                    if len(cs) == len(ood_tasks) else "—")
-        lines.append(f"| **OOD average** | {_avg('first', 1)} "
-                     f"| {_avg('random', 16)} | {_avg('verifier', 16)} "
-                     + (f"| {_avg('verifier_dr', 16)} " if has_dr else "")
-                     + f"| {_avg('oracle', 16)} |")
+            def _avg(mode, n, _tasks=tasks):
+                cs = [ood.get((t, mode, n)) for t in _tasks]
+                cs = [c for c in cs if c]
+                return (f"{100 * np.mean([c['success_rate'] for c in cs]):.0f}%"
+                        if len(cs) == len(_tasks) else "—")
+            lines.append(
+                f"| **average** | {_avg('first', 1)} "
+                f"| {_avg('random', 16)} | {_avg('verifier', 16)} "
+                + "".join(f"| {_avg(m, 16)} " for m in extra_modes)
+                + f"| {_avg('oracle', 16)} |")
         # honesty clause: name every committed arm that scores BELOW the
         # no-selection baseline anywhere (an arm that hurts must be
         # documented, not silently carried in results.json)
@@ -1698,6 +1724,10 @@ def main():
     p.add_argument("--steps", type=int, default=1500)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--policy-out", default="policy_params.pkl",
+                   help="output pkl under the artifact dir (e.g. "
+                        "policy_rephrase.pkl for the paraphrase-augmented "
+                        "policy evaluated as its own column)")
     p.add_argument("--rephrases", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="paraphrase-augment instructions from the vendored "
@@ -1717,6 +1747,8 @@ def main():
                     help="verifier params pkl; its argmax drives execution "
                          "with prob --dagger-frac (DAgger round 2)")
     rk.add_argument("--dagger-frac", type=float, default=0.5)
+    rk.add_argument("--policy-params", default="policy_params.pkl",
+                    help="policy pkl under the artifact dir to roll")
     rk.add_argument("--wrong-noun-frac", type=float, default=0.0,
                     help="probability of also recording a wrong-noun "
                          "counterfactual slate (same frame, instruction "
@@ -1781,6 +1813,11 @@ def main():
                    choices=["auto", "true", "false"],
                    help="auto = freeze iff the pretrained tower loaded "
                         "(reference semantics: pretrained backbone frozen)")
+    v.add_argument("--color-aug", action="store_true",
+                   help="add label-preserving photometric augmentation "
+                        "(channel permutation + per-channel affine) — "
+                        "appearance-OOD robustness without domain-"
+                        "randomized collection")
     v.add_argument("--dr-phase", default="all", choices=["all", "carry"],
                    help="'carry' drops approach-phase domain-randomized "
                         "states (identity-ambiguous without text "
@@ -1816,6 +1853,11 @@ def main():
                    help="also run the OOD appearance-variant cells")
     e.add_argument("--verifier-params", default="verifier_params.pkl",
                    help="verifier params pkl under the artifact dir")
+    e.add_argument("--policy-params", default="policy_params.pkl",
+                   help="policy pkl under the artifact dir (pair with "
+                        "--record-mode to measure an alternate policy, "
+                        "e.g. the paraphrase-augmented one, alongside "
+                        "the committed grid)")
     e.add_argument("--rescore-threshold", type=float, default=None,
                    help="override the stage-1 gate threshold (reference "
                         "default 0.1; inf disables the gate = pure stage-2 "
