@@ -275,6 +275,19 @@ class CoVerConfig:
     # (README.md:136-155: pi0 vs pi0+CoVer); "random"/"first" skip the
     # verifier entirely.
     selection: str = "verifier"
+    # Phase-aware deference (the stage-1 absolute-affinity gate of
+    # run_simpler_eval_with_openpi.py:346-365 generalised into a
+    # know-when-you-don't-know fallback): when the scene's fused
+    # image+text embedding has cosine affinity below this threshold to
+    # the checkpoint's ID calibration prototype
+    # (verifier_params["calibration"]["prototype"], written by
+    # `verification_scaling.py calibrate`), APPROACH-phase picks (gripper
+    # still open) defer to candidate 0 — the policy prior — because
+    # identifying the pick object in an unfamiliar scene is exactly what
+    # low affinity says the verifier cannot do. CARRY-phase picks stay
+    # verified: once the object is held, ranking is identity-free
+    # geometry (move the held object to the receptacle). -inf disables.
+    defer_threshold: float = float("-inf")
 
     @property
     def batch_size(self) -> int:

@@ -56,6 +56,9 @@ class VerifiedStepResult(NamedTuple):
     winner_group: jax.Array    # int32 — language/prompt index in [0, K)
     max_score: jax.Array       # fp32 — winning cosine similarity
     used_stage2: jax.Array     # bool — stage-2 rescore was taken
+    deferred: jax.Array        # bool — low-affinity approach-phase pick
+    #                            deferred to candidate 0 (CoVerConfig.
+    #                            defer_threshold; False when disabled)
     scores: jax.Array          # [K*N] all candidate scores (diagnostics)
     raw_gripper: jax.Array     # [chunk] winner's raw [0,1] gripper output
     #                            (fractal sticky-gripper postprocessing
@@ -222,14 +225,41 @@ def _build_step(pcfg: Pi0Config, vcfg: VerifierConfig,
         # 6. verifier scoring under the current instruction --------------
         # (skipped entirely for the ablation baselines — "random"/"first"
         #  are the no-verifier arms of the reference's headline comparison)
+        deferred = jnp.bool_(False)
         if ccfg.selection == "verifier":
             vimg = _verifier_image(raw_image, vcfg.vision.image_size)
-            scores = verifier.score_actions(
-                verifier_params, vcfg, vimg, verifier_tokens[None], traj)
+            feats = verifier.extract_features(
+                verifier_params, vcfg, vimg, verifier_tokens[None])
+            fused_it, fused_ac = verifier.ensemble_embed(
+                verifier_params, vcfg, feats, traj)
+            scores = jnp.matmul(fused_it, fused_ac.T,
+                                precision=jax.lax.Precision.HIGHEST)[0]
 
             # 7. two-stage selection, branch-free ------------------------
             winner, max_score, used_stage2 = select_from_scores(
                 scores, N, ccfg.rescore_threshold)
+
+            # 7b. phase-aware deference (see CoVerConfig.defer_threshold):
+            # an unfamiliar scene (low affinity to the ID calibration
+            # prototype) means the verifier cannot ground the pick object,
+            # so approach-phase picks fall back to the policy prior;
+            # carry-phase ranking (object held, gripper closed) is
+            # identity-free geometry and stays verified
+            if ccfg.defer_threshold != float("-inf"):
+                calib = verifier_params.get("calibration")
+                if calib is None:
+                    raise ValueError(
+                        "CoVerConfig.defer_threshold is set but the "
+                        "verifier checkpoint has no 'calibration' entry — "
+                        "run `verification_scaling.py calibrate` first")
+                proto = jnp.asarray(calib["prototype"], jnp.float32)
+                affinity = jnp.dot(fused_it[0], proto,
+                                   precision=jax.lax.Precision.HIGHEST)
+                approach = proprio[6] > 0.5      # raw gripper still open
+                deferred = approach & (affinity < ccfg.defer_threshold)
+                winner = jnp.where(deferred, 0, winner)
+                max_score = jnp.where(deferred, scores[0], max_score)
+                used_stage2 = used_stage2 & ~deferred
         elif ccfg.selection == "random":
             scores = jnp.zeros((K * N,), jnp.float32)
             winner = jax.random.randint(sel_key, (), 0, K * N)
@@ -249,16 +279,19 @@ def _build_step(pcfg: Pi0Config, vcfg: VerifierConfig,
         verifier_chunk = verif_chunks[winner]
 
         # 8. gripper majority vote within the winning language group -----
+        # (a deferred step executes the UNvoted policy prior — candidate 0
+        # exactly as the "first" baseline would)
         winner_group = winner // N
         if ccfg.gripper_vote:
-            exec_chunk = vote_gripper(exec_chunks, exec_chunk,
-                                      winner_group, N)
+            voted = vote_gripper(exec_chunks, exec_chunk, winner_group, N)
+            exec_chunk = jnp.where(deferred, exec_chunk, voted)
 
         return VerifiedStepResult(
             exec_chunk=exec_chunk, verifier_chunk=verifier_chunk,
             winner_idx=winner.astype(jnp.int32),
             winner_group=winner_group.astype(jnp.int32),
-            max_score=max_score, used_stage2=used_stage2, scores=scores,
+            max_score=max_score, used_stage2=used_stage2,
+            deferred=deferred, scores=scores,
             raw_gripper=grip[winner, :, 0])
 
     return step
@@ -366,8 +399,8 @@ def _build_select(ccfg: CoVerConfig):
             winner_idx=winner.astype(jnp.int32),
             winner_group=winner_group.astype(jnp.int32),
             max_score=max_score.astype(jnp.float32),
-            used_stage2=used_stage2, scores=scores,
-            raw_gripper=raw_grippers[winner, :, 0])
+            used_stage2=used_stage2, deferred=jnp.bool_(False),
+            scores=scores, raw_gripper=raw_grippers[winner, :, 0])
 
     return select
 

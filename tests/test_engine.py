@@ -111,6 +111,60 @@ def test_history_padding_changes_scores_only_via_valid_rows(params, obs):
     assert np.abs(np.asarray(r0.scores) - np.asarray(r2.scores)).max() > 1e-6
 
 
+def test_phase_aware_deference(params, obs):
+    """CoVerConfig.defer_threshold (engine step 7b): on a low-affinity
+    scene an APPROACH-phase pick (gripper open) defers to candidate 0 and
+    executes it exactly as the "first" baseline would (no gripper vote);
+    a CARRY-phase pick (gripper closed) stays verified; a threshold below
+    any cosine never defers; a checkpoint without calibration errors."""
+    pp, vp = params
+    raw, proprio, lt, lm, vt, hist = obs
+    key = jax.random.PRNGKey(3)
+    rng = np.random.default_rng(4)
+    proto = rng.normal(size=VCFG.vision_pooling_output_dim
+                       ).astype(np.float32)
+    vp_cal = dict(vp)
+    vp_cal["calibration"] = {"prototype": proto / np.linalg.norm(proto)}
+    approach = proprio.copy()
+    approach[6] = 0.8                                  # gripper open
+    carry = proprio.copy()
+    carry[6] = 0.1                                     # gripper closed
+
+    # threshold above any cosine -> every approach-phase pick defers
+    always = make_verified_step(PCFG, VCFG, replace(
+        CCFG, defer_threshold=2.0), STATS)
+    rd = always(pp, vp_cal, key, raw, approach, lt, lm, vt, hist,
+                np.int32(0))
+    assert bool(rd.deferred) and int(rd.winner_idx) == 0
+    assert not bool(rd.used_stage2)
+    first_nv = make_verified_step(PCFG, VCFG, replace(
+        CCFG, selection="first", gripper_vote=False), STATS)
+    rf = first_nv(pp, vp_cal, key, raw, approach, lt, lm, vt, hist,
+                  np.int32(0))
+    np.testing.assert_allclose(np.asarray(rd.exec_chunk),
+                               np.asarray(rf.exec_chunk), atol=1e-6)
+
+    # carry phase never defers, even on a low-affinity scene
+    rc = always(pp, vp_cal, key, raw, carry, lt, lm, vt, hist, np.int32(0))
+    assert not bool(rc.deferred)
+
+    # threshold below any cosine -> identical to the undeferred arm
+    never = make_verified_step(PCFG, VCFG, replace(
+        CCFG, defer_threshold=-2.0), STATS)
+    base = make_verified_step(PCFG, VCFG, CCFG, STATS)
+    rn = never(pp, vp_cal, key, raw, approach, lt, lm, vt, hist,
+               np.int32(0))
+    rb = base(pp, vp_cal, key, raw, approach, lt, lm, vt, hist, np.int32(0))
+    assert not bool(rn.deferred)
+    assert int(rn.winner_idx) == int(rb.winner_idx)
+    np.testing.assert_allclose(np.asarray(rn.exec_chunk),
+                               np.asarray(rb.exec_chunk), atol=1e-6)
+
+    # a checkpoint without calibration cannot run with deference enabled
+    with pytest.raises(ValueError, match="calibration"):
+        always(pp, vp, key, raw, approach, lt, lm, vt, hist, np.int32(0))
+
+
 def test_cover_engine_episode(params, obs):
     pp, vp = params
     raw, proprio, *_ = obs

@@ -61,13 +61,75 @@ def test_committed_grid_verifier_beats_random():
         f"{r16['ci95']}")
     base = cells[("first", 1, 1)]
     for (mode, n, k), c in cells.items():
-        if mode == "verifier":
+        if mode.startswith("verifier"):   # incl. alternate checkpoints
             assert c["success_rate"] >= base["success_rate"], (
-                f"verifier@N={n},K={k} {c['success_rate']} below the "
+                f"{mode}@N={n},K={k} {c['success_rate']} below the "
                 f"baseline {base['success_rate']} — active harm")
     # the scaling direction: more candidates must not hurt the verifier
     v5, v40 = cells[("verifier", 5, 1)], cells[("verifier", 40, 1)]
     assert v40["success_rate"] >= v5["success_rate"] - 0.05
+
+
+def _ood_grid():
+    with open(os.path.join(ART_DIR, "results.json")) as f:
+        return json.load(f).get("ood_grid", [])
+
+
+def _ood_tiers(ood):
+    """Two-tier OOD suite: '_appearance' = unseen colors/sizes (the
+    round-4 OOD definition, the reference's headline shape); base names
+    add novel geometry + distractor clutter (the round-5 hard axes)."""
+    tasks = sorted({c["task"] for c in ood})
+    t1 = [t for t in tasks if t.endswith("_appearance")]
+    t2 = [t for t in tasks if not t.endswith("_appearance")]
+    return t1, t2
+
+
+def test_committed_ood_grid_verifier_transfers():
+    """The round-4 review's top item: the LEARNED verifier must transfer
+    to the OOD tasks (the reference's +31-pt OOD headline,
+    /root/reference/README.md:152-155). Criteria: on the appearance tier
+    the verifier beats random at N=16 with non-overlapping 95% CIs on at
+    least one task, and is never materially below random anywhere (both
+    tiers)."""
+    ood = _ood_grid()
+    assert ood, "no OOD cells committed in results.json"
+    by = {(c["task"], c["mode"], c["n_samples"]): c for c in ood}
+    t1, t2 = _ood_tiers(ood)
+    assert len(t1) == 3, f"expected 3 appearance-tier tasks, got {t1}"
+    assert len(t2) == 3, f"expected 3 hard-tier tasks, got {t2}"
+    wins = 0
+    for t in t1 + t2:
+        v, r = by[(t, "verifier", 16)], by[(t, "random", 16)]
+        assert v["success_rate"] >= r["success_rate"] - 0.05, (
+            f"{t}: verifier {v['success_rate']} below random "
+            f"{r['success_rate']} — OOD selection harm")
+        if t in t1 and v["ci95"][0] > r["ci95"][1]:
+            wins += 1
+    assert wins >= 1, (
+        "verifier must clear random's CI on at least one appearance-tier "
+        f"task, got {wins}")
+
+
+def test_committed_ood_grid_no_arm_below_baseline():
+    """No committed selection arm — including alternate checkpoints
+    recorded via --record-mode — may score below the candidate-0 (plain
+    pi0) baseline on any OOD task. Guards the verifier_dr class of
+    regression (r4: 3% on zucchini vs the 13% baseline, committed but
+    unreported)."""
+    ood = _ood_grid()
+    assert ood, "no OOD cells committed in results.json"
+    base = {c["task"]: c for c in ood if c["mode"] == "first"}
+    for c in ood:
+        # "random" is the statistical no-selection control (iid with
+        # pi0); every other arm actively selects and must not harm
+        if c["mode"] in ("first", "random"):
+            continue
+        b = base[c["task"]]
+        assert c["success_rate"] >= b["success_rate"] - 0.05, (
+            f"{c['task']}: {c['mode']}@N={c['n_samples']} "
+            f"{c['success_rate']} below the pi0 baseline "
+            f"{b['success_rate']} — active harm must not ship")
 
 
 def test_committed_grid_oracle_ceiling():
